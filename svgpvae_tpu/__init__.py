@@ -1,0 +1,23 @@
+"""svgpvae_tpu — a TPU-native (JAX / XLA / Pallas / pjit) framework for
+Scalable Gaussian Process Variational Autoencoders.
+
+Re-implements, TPU-first, every capability of the reference TF1.15 research
+codebase (ratschlab/SVGP-VAE): the SVGPVAE model with Hensman/Titsias
+inside-ELBOs, GPLVM object/action kernels and GECO constrained optimization;
+the baseline zoo (plain VAE, CVAE, Pearce GPVAE, Neural-Process ELBO, Casale
+GPVAE, deep SVIGP); the moving-ball / rotated-MNIST / SPRITES workloads with
+their conditional-generation evaluation pipelines; and the surrounding
+runtime (training loops, checkpointing, metrics, data synthesis).
+
+Design principles (see SURVEY.md §7):
+  * pure functions + pytree parameter structs, `vmap` over latent channels,
+    `jit`-compiled train/eval steps with static shapes;
+  * Cholesky-solve linear algebra (never explicit inverses) tuned for MXU;
+  * data parallelism via `jax.sharding.Mesh` + `shard_map`, gradients
+    reduced with `psum` over ICI;
+  * float32 by default (TPU-native), float64 verification mode on CPU.
+"""
+
+__version__ = "0.1.0"
+
+from svgpvae_tpu import kernels, linalg  # noqa: F401
