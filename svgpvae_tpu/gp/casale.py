@@ -1,0 +1,168 @@
+"""Casale GPVAE: full GP over the train set with Kronecker low-rank V and
+first-order Taylor coefficients for low-memory stochastic backprop.
+
+Reference: GPVAE_Casale_model.py:10-21 (kron), 206-359 (casaleGP class).
+Functional re-design: parameters in a pytree struct, all matrix work via
+batched matmuls (the L-channel Taylor coefficients are one einsum family
+rather than a Python loop), Woodbury inverse kept in its factored form where
+possible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from svgpvae_tpu import kernels, linalg
+
+
+def kron(a: Array, b: Array) -> Array:
+    """Kronecker product via broadcasting (reference: tf_kron,
+    GPVAE_Casale_model.py:10-21)."""
+    ar, ac = a.shape
+    br, bc = b.shape
+    return (a[:, None, :, None] * b[None, :, None, :]).reshape(ar * br,
+                                                               ac * bc)
+
+
+@struct.dataclass
+class CasaleGP:
+    """Parameters of the Casale full-GP prior (reference:
+    GPVAE_Casale_model.py:206-247)."""
+
+    length_scale: Array   # view-kernel length scale
+    amplitude: Array      # view-kernel amplitude
+    alpha: Array          # observation noise of the latent GP
+    object_vectors: Array  # (n_objects, M) GPLVM table
+    object_kernel_normalize: bool = struct.field(pytree_node=False,
+                                                 default=False)
+    ov_joint: bool = struct.field(pytree_node=False, default=True)
+    jitter: float = struct.field(pytree_node=False, default=1e-6)
+
+
+def init_casale_gp(object_vectors_init, object_kernel_normalize: bool,
+                   ov_joint: bool, jitter: float = 1e-6,
+                   dtype=jnp.float32) -> CasaleGP:
+    return CasaleGP(
+        length_scale=jnp.asarray(1.0, dtype=dtype),
+        amplitude=jnp.asarray(1.0, dtype=dtype),
+        alpha=jnp.asarray(0.1, dtype=dtype),
+        object_vectors=jnp.asarray(object_vectors_init, dtype=dtype),
+        object_kernel_normalize=object_kernel_normalize,
+        ov_joint=ov_joint,
+        jitter=jitter,
+    )
+
+
+def casale_kernel_matrix(gp: CasaleGP, x: Array, y: Array,
+                         x_has_id: bool = True,
+                         y_has_id: bool = True) -> Array:
+    """Product kernel K(x, y) = ExpSinSquared(angle) * Linear(object vec).
+
+    Reference: casaleGP.kernel_matrix (GPVAE_Casale_model.py:249-276).
+    Aux rows are [id, angle, pca...] when `*_has_id`, else [angle, pca...]
+    (the reference's test aux data carries no id column and uses the PCA
+    columns directly).
+    """
+    def unpack(aux, has_id):
+        if has_id:
+            view = aux[:, 1:2]
+            if gp.ov_joint:
+                obj = jnp.take(gp.object_vectors,
+                               aux[:, 0].astype(jnp.int32), axis=0)
+            else:
+                obj = aux[:, 2:]
+        else:
+            view = aux[:, 0:1]
+            obj = aux[:, 1:]
+        return view, obj
+
+    xv, xo = unpack(x, x_has_id)
+    yv, yo = unpack(y, y_has_id)
+
+    k_view = kernels.exp_sin_squared_matrix(xv, yv, gp.amplitude,
+                                            gp.length_scale, 2.0 * jnp.pi)
+    k_obj = kernels.linear_matrix(xo, yo)
+    if gp.object_kernel_normalize:
+        k_obj = kernels.cosine_normalize_matrix(k_obj, xo, yo)
+    return k_view * k_obj
+
+
+def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
+             train_ids_mask: Array) -> Array:
+    """Low-rank factor V with K ~= V V^T + alpha I.
+
+    V-tilde = kron(object_vectors, chol(K_view)) over the sorted unique
+    (object, angle) grid, subsampled to the rows actually present in the
+    train set (reference: casaleGP.V_matrix, GPVAE_Casale_model.py:278-309).
+
+    unique_angles: (Q,) sorted unique train angles; object_ids: (P,) sorted
+    unique object ids; train_ids_mask: (P*Q,) boolean row mask.  Returns
+    V (N, H) with H = P_M * Q (object-vector dim x angles).
+    """
+    ov = jnp.take(gp.object_vectors, object_ids.astype(jnp.int32), axis=0)
+    if gp.object_kernel_normalize:
+        ov = ov / jnp.linalg.norm(ov, axis=-1, keepdims=True)
+
+    K_w = kernels.exp_sin_squared_matrix(
+        unique_angles[:, None], unique_angles[:, None], gp.amplitude,
+        gp.length_scale, 2.0 * jnp.pi)
+    L_w = linalg.safe_cholesky(K_w, gp.jitter)
+
+    V_tilde = kron(ov, L_w)  # (P*Q, M*Q)
+    # static boolean subsampling: mask is a host-side constant of the sorted
+    # train layout, so rows can be gathered with a precomputed index set.
+    idx = jnp.nonzero(train_ids_mask, size=int(train_ids_mask.sum()))[0]
+    return jnp.take(V_tilde, idx, axis=0)
+
+
+def casale_k_inv(V: Array, alpha) -> Array:
+    """Woodbury inverse K^{-1} = (1/a) I - (1/a) V (a I + V^T V)^{-1} V^T.
+
+    Reference: GPVAE_Casale_model.py:330-332.  Materializes the (N, N)
+    inverse like the reference; the factored application
+    `apply_k_inv` below should be preferred in new code paths.
+    """
+    N, H = V.shape
+    dtype = V.dtype
+    inner = alpha * jnp.eye(H, dtype=dtype) + V.T @ V
+    inner_chol = jnp.linalg.cholesky(inner)
+    sol = linalg.cho_solve(inner_chol, V.T)  # (H, N)
+    return (jnp.eye(N, dtype=dtype) - V @ sol) / alpha
+
+
+def apply_k_inv(V: Array, alpha, rhs: Array) -> Array:
+    """K^{-1} @ rhs without materializing the (N, N) inverse."""
+    H = V.shape[1]
+    inner = alpha * jnp.eye(H, dtype=V.dtype) + V.T @ V
+    inner_chol = jnp.linalg.cholesky(inner)
+    return (rhs - V @ linalg.cho_solve(inner_chol, V.T @ rhs)) / alpha
+
+
+def taylor_coeffs(gp: CasaleGP, Z: Array, V: Array
+                  ) -> Tuple[Array, Array, Array]:
+    """First-order Taylor coefficients (a, B, c) of the GP prior term.
+
+    Reference: casaleGP.taylor_coeff (GPVAE_Casale_model.py:311-351) —
+    "Implementation of low-memory stochastic backpropagation" in Casale's
+    paper.  Z: (N, L) latent samples over the full train set, V: (N, H).
+
+    Returns a (L, N), B (L, N, H), c (L,).  The reference's Python loop over
+    channels becomes batched matmuls.
+    """
+    K_inv = casale_k_inv(V, gp.alpha)  # (N, N)
+
+    a = Z.T @ K_inv  # (L, N)
+    K_inv_V = K_inv @ V  # (N, H)
+
+    # B_l = -K_inv z_l z_l^T K_inv_V + K_inv_V
+    KZ = K_inv @ Z  # (N, L)
+    ztKV = Z.T @ K_inv_V  # (L, H)
+    B = -KZ.T[:, :, None] * ztKV[:, None, :] + K_inv_V[None]  # (L, N, H)
+
+    # c_l = 0.5 * ( -z_l^T K_inv K_inv z_l + tr(K_inv) )
+    c = 0.5 * (-jnp.sum(KZ * KZ, axis=0) + jnp.trace(K_inv))  # (L,)
+    return a, B, c

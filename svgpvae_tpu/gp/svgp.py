@@ -314,7 +314,8 @@ def posterior_params(gp, aux_test: Array, aux_train: Array, y: Array,
     KmmInv_Kmx = linalg.cho_solve(Kmm_chol, Kxm.T)  # (m, x)
     nystrom = jnp.sum(Kxm * KmmInv_Kmx.T, axis=-1)  # (x,)
     # diag(K_xm Sigma_l^{-1} K_mx) per channel
-    SigInv_Kmx = linalg.cho_solve(Sigma_chol, Kxm.T[None])  # (L, m, x)
+    Kmx_b = jnp.broadcast_to(Kxm.T, (Sigma.shape[0],) + Kxm.T.shape)
+    SigInv_Kmx = linalg.cho_solve(Sigma_chol, Kmx_b)  # (L, m, x)
     sig_quad = jnp.einsum("xm,lmx->xl", Kxm, SigInv_Kmx)  # (x, L)
     p_v = (Kxx_diag - nystrom)[:, None] + sig_quad  # (x, L)
 
