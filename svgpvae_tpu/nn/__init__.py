@@ -1,0 +1,13 @@
+from svgpvae_tpu.nn.nets import (  # noqa: F401
+    BallEncoder,
+    BallDecoder,
+    MnistEncoder,
+    MnistDecoder,
+    MnistVAE,
+    MnistCVAE,
+    SpritesVAE,
+    SpritesReprNet,
+    ClassificationHead,
+    SVIGPDecoder,
+    upsample2x,
+)

@@ -1,0 +1,310 @@
+"""Neural-network modules (flax.linen), mirroring the reference
+architectures exactly (layer sizes, strides, paddings, elu activations,
+exp-log-variance splits) while staying dtype-configurable so the same
+modules run float32/bfloat16 on TPU and float64 in CPU verification mode.
+
+Reference architecture sources:
+  * ball MLP encoder/decoder        VAE_utils.py:9-96
+  * mnistVAE conv encoder/decoder   VAE_utils.py:99-162
+  * mnistCVAE                       VAE_utils.py:165-258
+  * spritesVAE                      VAE_utils.py:275-360
+  * sprites representation network  VAE_utils.py:363-391
+  * SVIGP decoder                   VAE_utils.py:394-431
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import Array
+
+
+def upsample2x(x: Array) -> Array:
+    """Nearest-neighbour 2x spatial upsampling, NHWC (keras UpSampling2D)."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# moving-ball MLPs
+# ---------------------------------------------------------------------------
+
+
+class BallEncoder(nn.Module):
+    """Flatten video frames -> tanh MLP -> per-frame 2-D mean and variance.
+
+    Reference: build_MLP_inference_graph (VAE_utils.py:9-55).  With
+    `full_cholesky` the head emits 2*(T+1) values per frame (an
+    over-parameterized full Cholesky row), matching the reference option.
+    """
+
+    hidden: Sequence[int] = (500,)
+    full_cholesky: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vids: Array) -> Tuple[Array, Array]:
+        b, t, px, py = vids.shape
+        h = vids.reshape(b * t, px * py).astype(self.dtype)
+        for width in self.hidden:
+            h = nn.tanh(nn.Dense(width, dtype=self.dtype)(h))
+        out_dim = 2 * (t + 1) if self.full_cholesky else 4
+        h = nn.Dense(out_dim, dtype=self.dtype)(h)
+        h = h.reshape(b, t, out_dim)
+        means = h[:, :, :2]
+        variances = jnp.exp(h[:, :, 2:])
+        return means, variances
+
+
+class BallDecoder(nn.Module):
+    """2-D latents -> tanh MLP -> per-frame Bernoulli logits.
+
+    Reference: build_MLP_decoder_graph (VAE_utils.py:58-96).
+    """
+
+    px: int = 32
+    py: int = 32
+    hidden: Sequence[int] = (500,)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latents: Array) -> Array:
+        b, t, d = latents.shape
+        h = latents.reshape(b * t, d).astype(self.dtype)
+        for width in self.hidden:
+            h = nn.tanh(nn.Dense(width, dtype=self.dtype)(h))
+        h = nn.Dense(self.px * self.py, dtype=self.dtype)(h)
+        return h.reshape(b, t, self.px, self.py)
+
+
+# ---------------------------------------------------------------------------
+# rotated-MNIST conv VAE
+# ---------------------------------------------------------------------------
+
+
+class MnistEncoder(nn.Module):
+    """3x Conv(8, 3, stride 2, VALID, elu) -> Dense(2L); input NHWC 28x28xC.
+
+    Reference: mnistVAE encoder (VAE_utils.py:114-126).
+    """
+
+    L: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: Array) -> Array:
+        h = images.astype(self.dtype)
+        for _ in range(3):
+            h = nn.elu(nn.Conv(8, (3, 3), strides=(2, 2), padding="VALID",
+                               dtype=self.dtype)(h))
+        h = h.reshape(h.shape[0], -1)
+        return nn.Dense(2 * self.L, dtype=self.dtype)(h)
+
+
+class MnistDecoder(nn.Module):
+    """Dense(128) -> (4,4,8) -> [up2 + Conv(8,3,SAME)] -> [up2 + Conv(8,3,
+    VALID)] -> [up2 + Conv(1,3,SAME)], all elu; output 28x28x1 logits.
+
+    Reference: mnistVAE decoder (VAE_utils.py:128-141).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latents: Array) -> Array:
+        h = nn.Dense(128, dtype=self.dtype)(latents.astype(self.dtype))
+        h = h.reshape(h.shape[0], 4, 4, 8)
+        h = upsample2x(h)  # 8x8
+        h = nn.elu(nn.Conv(8, (3, 3), padding="SAME", dtype=self.dtype)(h))
+        h = upsample2x(h)  # 16x16
+        h = nn.elu(nn.Conv(8, (3, 3), padding="VALID", dtype=self.dtype)(h))
+        h = upsample2x(h)  # 28x28
+        h = nn.elu(nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(h))
+        return h
+
+
+class MnistVAE(nn.Module):
+    """Conv VAE for rotated MNIST; encoder output split into mean and
+    exp(log-variance) (reference: mnistVAE, VAE_utils.py:99-162)."""
+
+    L: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = MnistEncoder(L=self.L, dtype=self.dtype)
+        self.decoder = MnistDecoder(dtype=self.dtype)
+
+    def encode(self, images: Array) -> Tuple[Array, Array]:
+        enc = self.encoder(images)
+        return enc[:, :self.L], jnp.exp(enc[:, self.L:])
+
+    def decode(self, latents: Array) -> Array:
+        return self.decoder(latents)
+
+    def __call__(self, images: Array):
+        mean, var = self.encode(images)
+        return self.decode(mean), mean, var
+
+
+class MnistCVAE(nn.Module):
+    """Conditional VAE: sin/cos of the rotation angle injected into the
+    encoder input + mid-encoder features and into the decoder latent +
+    4x4 feature map (reference: mnistCVAE, VAE_utils.py:165-258).
+
+    `encode` expects images already concatenated with sin/cos channel maps
+    (3-channel input), as the reference driver prepares them
+    (SVGPVAE_model.py:737-744).
+    """
+
+    L: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.enc_convs = [
+            nn.Conv(8, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name=f"enc_conv{i}") for i in range(3)]
+        self.enc_out = nn.Dense(2 * self.L, dtype=self.dtype)
+        self.dec_in = nn.Dense(128, dtype=self.dtype)
+        self.dec_conv0 = nn.Conv(8, (3, 3), padding="SAME", dtype=self.dtype)
+        self.dec_conv1 = nn.Conv(8, (3, 3), padding="VALID", dtype=self.dtype)
+        self.dec_conv2 = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)
+
+    def encode(self, images3: Array, angles: Array) -> Tuple[Array, Array]:
+        h = images3.astype(self.dtype)
+        for conv in self.enc_convs:
+            h = nn.elu(conv(h))
+        h = h.reshape(h.shape[0], -1)
+        ang = angles.astype(self.dtype)
+        h = jnp.concatenate(
+            [h, jnp.sin(ang)[:, None], jnp.cos(ang)[:, None]], axis=1)
+        enc = self.enc_out(h)
+        return enc[:, :self.L], jnp.exp(enc[:, self.L:])
+
+    def decode(self, latents: Array, angles: Array) -> Array:
+        ang = angles.astype(self.dtype)
+        sin_, cos_ = jnp.sin(ang), jnp.cos(ang)
+        z = jnp.concatenate(
+            [latents.astype(self.dtype), sin_[:, None], cos_[:, None]],
+            axis=1)
+        h = self.dec_in(z)
+        h = h.reshape(h.shape[0], 4, 4, 8)
+        b = h.shape[0]
+        sin_map = jnp.broadcast_to(sin_[:, None, None, None], (b, 4, 4, 1))
+        cos_map = jnp.broadcast_to(cos_[:, None, None, None], (b, 4, 4, 1))
+        h = jnp.concatenate([h, sin_map, cos_map], axis=3)
+        h = upsample2x(h)
+        h = nn.elu(self.dec_conv0(h))
+        h = upsample2x(h)
+        h = nn.elu(self.dec_conv1(h))
+        h = upsample2x(h)
+        h = nn.elu(self.dec_conv2(h))
+        return h
+
+    def __call__(self, images3: Array, angles: Array):
+        mean, var = self.encode(images3, angles)
+        return self.decode(mean, angles), mean, var
+
+
+# ---------------------------------------------------------------------------
+# SPRITES conv VAE + representation network
+# ---------------------------------------------------------------------------
+
+
+class SpritesVAE(nn.Module):
+    """Conv VAE for 64x64x3 SPRITES frames (reference: spritesVAE,
+    VAE_utils.py:275-360): encoder 6x Conv(16, 3, SAME, elu) with strides
+    1/2/1/2/1/2 -> Dense(2L); decoder Dense(1024) -> (8,8,16) ->
+    3x [up2 + 2x Conv(16, 3, SAME, elu)] -> Conv(3, 3, SAME, elu)."""
+
+    L: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.enc_convs = [
+            nn.Conv(16, (3, 3), strides=(s, s), padding="SAME",
+                    dtype=self.dtype, name=f"enc_conv{i}")
+            for i, s in enumerate((1, 2, 1, 2, 1, 2))]
+        self.enc_out = nn.Dense(2 * self.L, dtype=self.dtype)
+        self.dec_in = nn.Dense(1024, dtype=self.dtype)
+        self.dec_convs = [
+            nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype,
+                    name=f"dec_conv{i}") for i in range(6)]
+        self.dec_out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)
+
+    def encode(self, images: Array) -> Tuple[Array, Array]:
+        h = images.astype(self.dtype)
+        for conv in self.enc_convs:
+            h = nn.elu(conv(h))
+        h = h.reshape(h.shape[0], -1)  # (b, 8*8*16)
+        enc = self.enc_out(h)
+        return enc[:, :self.L], jnp.exp(enc[:, self.L:])
+
+    def decode(self, latents: Array) -> Array:
+        h = self.dec_in(latents.astype(self.dtype))
+        h = h.reshape(h.shape[0], 8, 8, 16)
+        for i in range(3):
+            h = upsample2x(h)
+            h = nn.elu(self.dec_convs[2 * i](h))
+            h = nn.elu(self.dec_convs[2 * i + 1](h))
+        return nn.elu(self.dec_out(h))
+
+    def __call__(self, images: Array):
+        mean, var = self.encode(images)
+        return self.decode(mean), mean, var
+
+
+class SpritesReprNet(nn.Module):
+    """GQN-"Pool"-style character-style embedder: 3x Conv(L, 2, stride 2,
+    SAME, elu) + 8x8 average pool + flatten -> L-dim vector per frame.
+
+    Reference: sprites_representation_network (VAE_utils.py:363-391).  The
+    reference name-prefixes layers 'GP_repr_NN_*' to partition trainables;
+    here the whole module is a separate parameter subtree, so optimizer
+    masks address it directly.
+    """
+
+    L: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: Array) -> Array:
+        h = images.astype(self.dtype)
+        for i in range(3):
+            h = nn.elu(nn.Conv(self.L, (2, 2), strides=(2, 2),
+                               padding="SAME", dtype=self.dtype,
+                               name=f"conv{i}")(h))
+        h = nn.avg_pool(h, window_shape=(8, 8), strides=(8, 8),
+                        padding="SAME")
+        return h.reshape(h.shape[0], -1)
+
+
+class ClassificationHead(nn.Module):
+    """Linear classifier stacked on the repr net for pretraining
+    (reference: SPRITES_experiment.py:141-144)."""
+
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, embeddings: Array) -> Array:
+        return nn.Dense(self.num_classes, dtype=self.dtype)(embeddings)
+
+
+class SVIGPDecoder(nn.Module):
+    """Decoder-only network for the deep-SVIGP baseline; same architecture
+    as the mnistVAE decoder (reference: SVIGP_Hensman_decoder,
+    VAE_utils.py:394-431)."""
+
+    L: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.decoder = MnistDecoder(dtype=self.dtype)
+
+    def decode(self, latents: Array) -> Array:
+        return self.decoder(latents)
+
+    def __call__(self, latents: Array) -> Array:
+        return self.decoder(latents)

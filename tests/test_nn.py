@@ -1,0 +1,98 @@
+"""Shape/behavior tests for the NN modules (architectures of SURVEY.md §2.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgpvae_tpu import nn as nets
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_ball_encoder_decoder_shapes():
+    vids = jnp.zeros((5, 30, 32, 32))
+    enc = nets.BallEncoder()
+    params = enc.init(KEY, vids)
+    means, variances = enc.apply(params, vids)
+    assert means.shape == (5, 30, 2)
+    assert variances.shape == (5, 30, 2)
+    assert np.all(np.asarray(variances) > 0)
+
+    dec = nets.BallDecoder()
+    dparams = dec.init(KEY, means)
+    logits = dec.apply(dparams, means)
+    assert logits.shape == (5, 30, 32, 32)
+
+
+def test_ball_encoder_full_cholesky_head():
+    vids = jnp.zeros((2, 10, 32, 32))
+    enc = nets.BallEncoder(full_cholesky=True)
+    params = enc.init(KEY, vids)
+    means, variances = enc.apply(params, vids)
+    assert means.shape == (2, 10, 2)
+    assert variances.shape == (2, 10, 2 * (10 + 1) - 2)
+
+
+def test_mnist_vae_shapes_and_param_count():
+    images = jnp.zeros((4, 28, 28, 1))
+    vae = nets.MnistVAE(L=16)
+    params = vae.init(KEY, images)
+    mean, var = vae.apply(params, images, method=vae.encode)
+    assert mean.shape == (4, 16) and var.shape == (4, 16)
+    assert np.all(np.asarray(var) > 0)
+    recon = vae.apply(params, mean, method=vae.decode)
+    assert recon.shape == (4, 28, 28, 1)
+
+    # encoder spatial path 28 -> 13 -> 6 -> 2: flatten dim must be 2*2*8
+    flat = jax.tree_util.tree_leaves(params["params"]["encoder"]["Dense_0"])
+    kernel = params["params"]["encoder"]["Dense_0"]["kernel"]
+    assert kernel.shape == (32, 32)  # (2*2*8, 2L)
+
+
+def test_mnist_cvae_shapes():
+    images3 = jnp.zeros((4, 28, 28, 3))
+    angles = jnp.linspace(0, 2 * jnp.pi, 4)
+    cvae = nets.MnistCVAE(L=16)
+    params = cvae.init(KEY, images3, angles)
+    mean, var = cvae.apply(params, images3, angles, method=cvae.encode)
+    assert mean.shape == (4, 16)
+    recon = cvae.apply(params, mean, angles, method=cvae.decode)
+    assert recon.shape == (4, 28, 28, 1)
+
+
+def test_sprites_vae_shapes():
+    images = jnp.zeros((2, 64, 64, 3))
+    vae = nets.SpritesVAE(L=64)
+    params = vae.init(KEY, images)
+    mean, var = vae.apply(params, images, method=vae.encode)
+    assert mean.shape == (2, 64)
+    recon = vae.apply(params, mean, method=vae.decode)
+    assert recon.shape == (2, 64, 64, 3)
+
+
+def test_sprites_repr_net_shapes():
+    images = jnp.zeros((6, 64, 64, 3))
+    net = nets.SpritesReprNet(L=16)
+    params = net.init(KEY, images)
+    emb = net.apply(params, images)
+    assert emb.shape == (6, 16)
+
+    head = nets.ClassificationHead(num_classes=1000)
+    hp = head.init(KEY, emb)
+    logits = head.apply(hp, emb)
+    assert logits.shape == (6, 1000)
+
+
+def test_svigp_decoder_shapes():
+    dec = nets.SVIGPDecoder(L=16)
+    z = jnp.zeros((3, 16))
+    params = dec.init(KEY, z)
+    out = dec.apply(params, z)
+    assert out.shape == (3, 28, 28, 1)
+
+
+def test_upsample2x():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    up = nets.upsample2x(x)
+    assert up.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(up[0, :2, :2, 0], x[0, 0, 0, 0])
