@@ -1,0 +1,254 @@
+"""SVGPVAE forward/eval passes (rotated MNIST and SPRITES).
+
+Re-designs the reference's graph builders (SVGPVAE_model.py:823-1195) as
+pure functions: encoder -> channel-batched GP posterior + inside-ELBO ->
+cross-entropy term -> reparameterized sample -> decoder -> objective.
+The per-latent-channel Python loop of the reference (:868-879) is replaced
+by the batched GP layer (svgpvae_tpu.gp), and GECO state is threaded
+explicitly instead of via feed_dict placeholders.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from svgpvae_tpu import gp as gpm
+from svgpvae_tpu import linalg
+
+# q-network variance clip range (reference: SVGPVAE_model.py:858-859)
+QVAR_CLIP = (1e-3, 10.0)
+# GP posterior variance clip for SPRITES (reference: SVGPVAE_model.py:891-892)
+PVAR_CLIP = (1e-4, 100.0)
+
+
+class SVGPVAEOutputs(NamedTuple):
+    elbo: Array            # training objective (GECO: minimized; else maximized)
+    recon_loss: Array      # per-pixel MSE sum (plain) / GECO constraint sum
+    kl_term: Array
+    inside_elbo: Array
+    ce_term: Array
+    p_m: Array
+    p_v: Array
+    qnet_mu: Array
+    qnet_var: Array
+    recon_images: Array
+    inside_elbo_recon: Array
+    inside_elbo_kl: Array
+    latent_samples: Array
+    C_ma: Array
+    lagrange_mult: Array
+    mean_vectors: Array    # bias-analysis minibatch estimators (L, m) or 0
+
+
+def sprites_aux_data(repr_apply, repr_params, images: Array,
+                     action_ids: Array, frames_per_char: int) -> Array:
+    """Build SPRITES auxiliary data: repr net -> per-character mean ->
+    broadcast back to frames -> prepend action id column.
+
+    Reference: aux_data_SVGPVAE_sprites (SVGPVAE_model.py:1086-1115), which
+    uses tf.segment_mean + tf.repeat with host-built index arrays.  Batches
+    here have a static layout of `frames_per_char` consecutive frames per
+    character, so the segment mean is a reshape-mean-broadcast — no gather
+    needed, fully fusible by XLA.
+    """
+    emb = repr_apply(repr_params, images)  # (b, L_char)
+    b, d = emb.shape
+    n_char = b // frames_per_char
+    char_mean = emb.reshape(n_char, frames_per_char, d).mean(axis=1)
+    char_vecs = jnp.repeat(char_mean, frames_per_char, axis=0)  # (b, d)
+    return jnp.concatenate(
+        [action_ids.astype(emb.dtype)[:, None], char_vecs], axis=1)
+
+
+def forward_pass_svgpvae(
+        vae, vae_params, gp_params, batch, key,
+        beta, C_ma, lagrange_mult, alpha, kappa,
+        clip_qs: bool = True, geco: bool = False,
+        repr_apply=None, repr_params=None, frames_per_char: int = 0,
+        bias_analysis: bool = False) -> SVGPVAEOutputs:
+    """Training forward pass (reference: forward_pass_SVGPVAE,
+    SVGPVAE_model.py:823-936).
+
+    batch = (images, aux_data); images (b, H, W, C); aux_data (b, D) for
+    MNIST or (b,) action ids for SPRITES (repr net builds the rest).
+    `gp_params` is a MnistSVGP / SpritesSVGP pytree.
+
+    GECO (constrained optimization, reference :908-915):
+      recon = sum_b( mean_px_sq_err - kappa^2 )
+      C_ma' = alpha * C_ma + (1 - alpha) * recon / b
+      objective = -KL + lambda * (recon/b + stop_grad(C_ma' - recon/b))
+      lambda' = lambda * exp(C_ma')
+    The first-step alpha=0 special case is handled by the train loop
+    (svgpvae_tpu.train) by passing alpha=0 at step 0.
+    """
+    images, aux_data = batch
+    b = images.shape[0]
+    K = images.shape[1] * images.shape[2] * images.shape[3]
+    dtype = images.dtype
+
+    qnet_mu, qnet_var = vae.apply(vae_params, images, method=vae.encode)
+    L = qnet_mu.shape[1]
+
+    if clip_qs:
+        qnet_var = jnp.clip(qnet_var, *QVAR_CLIP)
+
+    is_sprites = repr_apply is not None
+    if is_sprites:
+        aux_data = sprites_aux_data(repr_apply, repr_params, images,
+                                    aux_data, frames_per_char)
+
+    # GP posterior + inside-ELBO, all channels at once
+    p_m, p_v, mu_hat, A_hat = gpm.posterior_params(
+        gp_params, aux_data, aux_data, qnet_mu, qnet_var)
+    sum_terms, kl_terms = gpm.variational_loss(
+        gp_params, aux_data, qnet_mu, qnet_var, mu_hat, A_hat)
+
+    inside_elbo_recon = jnp.sum(sum_terms)
+    inside_elbo_kl = jnp.sum(kl_terms)
+    if gp_params.config.titsias:
+        inside_elbo = inside_elbo_recon - inside_elbo_kl
+    else:
+        n_total = gp_params.config.N_train or b
+        inside_elbo = inside_elbo_recon - (b / n_total) * inside_elbo_kl
+
+    if is_sprites:  # numerical-stability clip (reference :891-892)
+        p_v = jnp.clip(p_v, *PVAR_CLIP)
+
+    ce_term = jnp.sum(linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var))
+    kl_term = -ce_term + inside_elbo
+
+    eps = jax.random.normal(key, p_m.shape, dtype=p_m.dtype)
+    latent_samples = p_m + eps * linalg.stable_sqrt(p_v)
+
+    recon_images = vae.apply(vae_params, latent_samples, method=vae.decode)
+
+    sq_err = (images - recon_images) ** 2
+    if geco:
+        per_image_mse = jnp.mean(sq_err, axis=(1, 2, 3))
+        recon_loss = jnp.sum(per_image_mse - kappa * kappa)
+        C_ma_new = alpha * C_ma + (1.0 - alpha) * recon_loss / b
+        elbo = -kl_term + lagrange_mult * (
+            recon_loss / b + jax.lax.stop_gradient(C_ma_new - recon_loss / b))
+        lagrange_new = lagrange_mult * jnp.exp(C_ma_new)
+    else:
+        recon_loss = jnp.sum(sq_err) / K
+        elbo = -recon_loss + (beta / L) * kl_term
+        C_ma_new = C_ma
+        lagrange_new = lagrange_mult
+
+    if bias_analysis:
+        mean_vectors = gpm.mean_vector_bias_analysis(gp_params, aux_data,
+                                                     qnet_mu, qnet_var)
+    else:
+        mean_vectors = jnp.zeros((), dtype=dtype)
+
+    # reported recon loss is always the per-pixel MSE sum (reference :909,
+    # :918-924 report recon/K; under GECO it reports the constraint sum)
+    return SVGPVAEOutputs(
+        elbo=elbo, recon_loss=recon_loss if geco else recon_loss,
+        kl_term=kl_term, inside_elbo=inside_elbo, ce_term=ce_term,
+        p_m=p_m, p_v=p_v, qnet_mu=qnet_mu, qnet_var=qnet_var,
+        recon_images=recon_images, inside_elbo_recon=inside_elbo_recon,
+        inside_elbo_kl=inside_elbo_kl, latent_samples=latent_samples,
+        C_ma=C_ma_new, lagrange_mult=lagrange_new,
+        mean_vectors=mean_vectors)
+
+
+def batching_encode_svgpvae(vae, vae_params, images: Array,
+                            clip_qs: bool = True):
+    """Encode a batch to (means, vars) for the test pipelines (reference:
+    batching_encode_SVGPVAE / _full, SVGPVAE_model.py:939-986)."""
+    qnet_mu, qnet_var = vae.apply(vae_params, images, method=vae.encode)
+    if clip_qs:
+        qnet_var = jnp.clip(qnet_var, *QVAR_CLIP)
+    return qnet_mu, qnet_var
+
+
+def predict_cgen_mnist(vae, vae_params, gp_params, test_batch,
+                       train_means: Array, train_vars: Array,
+                       aux_data_train: Array, key) -> tuple:
+    """Conditional generation for rotated MNIST: GP posterior at test aux
+    data conditioned on ALL train encodings, sample, decode, per-pixel MSE.
+
+    Reference: bacthing_predict_SVGPVAE_rotated_mnist
+    (SVGPVAE_model.py:1026-1083).
+    """
+    images_test, aux_test = test_batch
+    K = images_test.shape[1] * images_test.shape[2]
+
+    p_m, p_v, _, _ = gpm.posterior_params(
+        gp_params, aux_test, aux_data_train, train_means, train_vars)
+
+    eps = jax.random.normal(key, p_m.shape, dtype=p_m.dtype)
+    latent_samples = p_m + eps * linalg.stable_sqrt(p_v)
+
+    recon = vae.apply(vae_params, latent_samples, method=vae.decode)
+    recon_loss = jnp.sum((images_test - recon) ** 2) / K
+    return recon, recon_loss
+
+
+def precompute_gp_params(gp_params, means: Array, variances: Array,
+                         aux_data: Array):
+    """Full-train-set GP posterior precompute for the SPRITES test pipeline
+    (reference: precompute_GP_params_SVGPVAE, SVGPVAE_model.py:989-1023)."""
+    return gpm.precompute_test_posterior_terms(gp_params, means, variances,
+                                               aux_data)
+
+
+def predict_cgen_sprites(vae, vae_params, gp_params, repr_apply, repr_params,
+                         images: Array, action_ids: Array,
+                         mean_terms: Array, Sigma_inv: Array, Kmm_inv: Array,
+                         n_context: int, n_actions_total: int,
+                         key, context_perm: Optional[Array] = None):
+    """Conditional generation for unseen SPRITES characters.
+
+    Reference: predict_SVGPVAE_sprites_test_character
+    (SVGPVAE_model.py:1118-1195).  The batch holds `batch/72` characters x
+    72 frames; the first `n_context` frames of each character's 72-frame
+    block form the context (the reference's `context_full_actions=True`
+    default sorts context indices, which with its frame layout is exactly
+    this prefix split).  Pass `context_perm` (a per-character permutation of
+    range(72)) to reproduce the random-context variant.
+
+    Returns (recon_target_images, target_images, recon_loss_sum_per_pixel).
+    """
+    b = images.shape[0]
+    fpc = 72  # frames per character in the test_character layout
+    n_char = b // fpc
+    K = images.shape[1] * images.shape[2] * images.shape[3]
+
+    im = images.reshape(n_char, fpc, *images.shape[1:])
+    aid = action_ids.reshape(n_char, fpc)
+    if context_perm is not None:
+        im = jnp.take_along_axis(
+            im, context_perm[..., None, None, None], axis=1)
+        aid = jnp.take_along_axis(aid, context_perm, axis=1)
+
+    ctx_images = im[:, :n_context].reshape(n_char * n_context,
+                                           *images.shape[1:])
+    tgt_images = im[:, n_context:].reshape(n_char * (fpc - n_context),
+                                           *images.shape[1:])
+    tgt_ids = aid[:, n_context:].reshape(-1)
+
+    # context frames -> per-character repr vectors -> target aux data
+    emb = repr_apply(repr_params, ctx_images)  # (n_char * n_context, d)
+    char_mean = emb.reshape(n_char, n_context, -1).mean(axis=1)
+    char_vecs = jnp.repeat(char_mean, fpc - n_context, axis=0)
+    aux_target = jnp.concatenate(
+        [tgt_ids.astype(emb.dtype)[:, None], char_vecs], axis=1)
+
+    p_m, p_v = gpm.posterior_from_precomputed(
+        gp_params, aux_target, mean_terms, Sigma_inv, Kmm_inv)
+    # negative posterior variances occur on SPRITES (reference :1175-1177)
+    p_v = jnp.clip(p_v, *PVAR_CLIP)
+
+    eps = jax.random.normal(key, p_m.shape, dtype=p_m.dtype)
+    latent_samples = p_m + eps * linalg.stable_sqrt(p_v)
+
+    recon = vae.apply(vae_params, latent_samples, method=vae.decode)
+    recon_loss = jnp.sum((tgt_images - recon) ** 2) / K
+    return recon, tgt_images, recon_loss

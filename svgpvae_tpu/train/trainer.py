@@ -1,0 +1,108 @@
+"""Generic jitted training step factory + optimizer wiring.
+
+Replaces the reference's per-driver optimizer plumbing
+(MNIST_experiment.py:196-208, Casale's 3-way optimizers :884-906, value
+clipping BALL_experiment.py:127-131) with:
+
+  * one optax Adam chain with optional value/norm gradient clipping;
+  * fixed-vs-joint parameter selection via optax.multi_transform masks over
+    the parameter pytree (instead of tf variable-collections filtered by
+    name substring);
+  * an opt_regime schedule DSL ("VAE-100 GP-100 joint-50" -> per-epoch
+    regime list, reference: utils.py:891-899);
+  * `make_train_step` producing a jitted (state, batch) -> (state, metrics)
+    function with GECO state/PRNG threading.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from svgpvae_tpu import linalg
+from svgpvae_tpu.train.state import GECOState, TrainState
+
+
+def parse_opt_regime(specs: List[str]) -> Tuple[int, List[str]]:
+    """'VAE-100 GP-100 joint-50' -> (250, per-epoch regime list).
+
+    Reference: parse_opt_regime (utils.py:891-899).
+    """
+    schedule: List[str] = []
+    for spec in specs:
+        regime, _, count = spec.rpartition("-")
+        schedule.extend([regime] * int(count))
+    return len(schedule), schedule
+
+
+def trainable_mask(params, predicate: Callable[[Tuple, Any], bool]):
+    """Boolean mask pytree: predicate(path, leaf) -> trainable?
+
+    Replaces the reference's name-substring variable partition
+    ('GP' in v.name, MNIST_experiment.py:897-903).
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: bool(predicate(path, leaf)), params)
+
+
+def make_optimizer(learning_rate, mask=None,
+                   clip_grad_value: Optional[float] = None,
+                   clip_grad_norm: Optional[float] = None):
+    """Adam with optional gradient clipping and a trainability mask.
+
+    `mask` is a boolean pytree (True = trainable); frozen leaves get
+    zero updates.  `learning_rate` may be a float or an optax schedule.
+    """
+    chain = []
+    if clip_grad_value is not None:
+        chain.append(_clip_by_value(clip_grad_value))
+    if clip_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(clip_grad_norm))
+    chain.append(optax.adam(learning_rate))
+    tx = optax.chain(*chain)
+    if mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            jax.tree_util.tree_map(
+                lambda t: "train" if t else "frozen", mask))
+    return tx
+
+
+def _clip_by_value(limit: float) -> optax.GradientTransformation:
+    """Value clipping to +/- limit (reference clips to +/-1e5,
+    BALL_experiment.py:129)."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return linalg.tree_value_clip(updates, limit), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_train_step(loss_fn, tx, donate: bool = True):
+    """Build the jitted train step.
+
+    `loss_fn(params, batch, key, geco_state, step)` must return
+    `(loss, (new_geco_state, metrics_dict))`.  The step threads PRNG and
+    GECO state, applies the optax update, and increments `step`.
+    """
+
+    def step_fn(state: TrainState, batch):
+        key, subkey = jax.random.split(state.key)
+        (loss, (geco, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, subkey, state.geco,
+                                   state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, geco=geco, key=key)
+        metrics = dict(metrics, loss=loss)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

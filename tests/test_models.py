@@ -1,0 +1,302 @@
+"""Model-layer (ELBO forward pass) tests: objective identities, GECO
+algebra, finiteness and gradient flow."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svgpvae_tpu import gp as gpm
+from svgpvae_tpu import models, nn as nets
+from svgpvae_tpu.gp.svgp import SVGPConfig
+
+KEY = jax.random.PRNGKey(42)
+RNG = np.random.RandomState(11)
+
+
+def _mnist_setup(b=8, L=4, M=3, m=6, n_obj=10, titsias=False):
+    vae = nets.MnistVAE(L=L)
+    images = jnp.asarray(RNG.rand(b, 28, 28, 1), dtype=jnp.float32)
+    vae_params = vae.init(KEY, images)
+    ip = np.hstack([np.arange(m)[:, None], RNG.rand(m, 1) * 2 * np.pi,
+                    RNG.randn(m, M)])
+    ov = RNG.randn(n_obj, M)
+    cfg = SVGPConfig(titsias=titsias, jitter=1e-6, N_train=100)
+    gp = gpm.init_mnist_svgp(ip, ov, config=cfg)
+    aux = jnp.asarray(np.hstack([
+        RNG.randint(0, n_obj, (b, 1)).astype(float),
+        RNG.rand(b, 1) * 2 * np.pi, RNG.randn(b, M)]), dtype=jnp.float32)
+    return vae, vae_params, gp, images, aux
+
+
+def test_svgpvae_plain_objective_identity():
+    vae, vae_params, gp, images, aux = _mnist_setup()
+    out = models.forward_pass_svgpvae(
+        vae, vae_params, gp, (images, aux), KEY, beta=0.001,
+        C_ma=0.0, lagrange_mult=1.0, alpha=0.99, kappa=np.sqrt(0.02),
+        geco=False)
+    L = out.qnet_mu.shape[1]
+    want = -out.recon_loss + (0.001 / L) * out.kl_term
+    np.testing.assert_allclose(out.elbo, want, rtol=1e-6)
+    np.testing.assert_allclose(out.kl_term, -out.ce_term + out.inside_elbo,
+                               rtol=1e-6)
+    # Hensman (b/N) KL scaling
+    b = images.shape[0]
+    np.testing.assert_allclose(
+        out.inside_elbo,
+        out.inside_elbo_recon - (b / 100) * out.inside_elbo_kl, rtol=1e-6)
+    assert np.isfinite(out.elbo)
+
+
+def test_svgpvae_geco_state_updates():
+    vae, vae_params, gp, images, aux = _mnist_setup()
+    kappa = np.sqrt(0.02)
+    C_ma0, lam0, alpha = 0.3, 1.7, 0.9
+    out = models.forward_pass_svgpvae(
+        vae, vae_params, gp, (images, aux), KEY, beta=0.001,
+        C_ma=C_ma0, lagrange_mult=lam0, alpha=alpha, kappa=kappa, geco=True)
+    b = images.shape[0]
+    want_C = alpha * C_ma0 + (1 - alpha) * np.asarray(out.recon_loss) / b
+    np.testing.assert_allclose(out.C_ma, want_C, rtol=1e-5)
+    np.testing.assert_allclose(out.lagrange_mult,
+                               lam0 * np.exp(want_C), rtol=1e-5)
+    # objective value: -KL + lambda * C_ma_new (the stop_grad cancels
+    # recon/b in value, leaving the moving average)
+    want_obj = -np.asarray(out.kl_term) + lam0 * want_C
+    np.testing.assert_allclose(out.elbo, want_obj, rtol=1e-5)
+
+
+def test_svgpvae_titsias_branch_and_grads():
+    vae, vae_params, gp, images, aux = _mnist_setup(titsias=True)
+
+    def loss(vp, gpp):
+        out = models.forward_pass_svgpvae(
+            vae, vp, gpp, (images, aux), KEY, beta=0.001,
+            C_ma=0.0, lagrange_mult=1.0, alpha=0.99, kappa=0.1, geco=False)
+        return -out.elbo
+
+    grads_v, grads_g = jax.grad(loss, argnums=(0, 1))(vae_params, gp)
+    flat = jax.tree_util.tree_leaves((grads_v, grads_g))
+    assert all(np.all(np.isfinite(g)) for g in flat)
+    # GP hyperparameter gradients exist and are nonzero
+    assert np.abs(np.asarray(grads_g.length_scale)) > 0
+
+
+def test_svgpvae_bias_analysis_output():
+    vae, vae_params, gp, images, aux = _mnist_setup()
+    out = models.forward_pass_svgpvae(
+        vae, vae_params, gp, (images, aux), KEY, beta=0.001,
+        C_ma=0.0, lagrange_mult=1.0, alpha=0.99, kappa=0.1,
+        bias_analysis=True)
+    assert out.mean_vectors.shape == (4, 6)  # (L, m)
+
+
+def test_cgen_mnist_pipeline_runs():
+    vae, vae_params, gp, images, aux = _mnist_setup()
+    n_train = 20
+    train_aux = jnp.asarray(np.hstack([
+        RNG.randint(0, 10, (n_train, 1)).astype(float),
+        RNG.rand(n_train, 1) * 2 * np.pi, RNG.randn(n_train, 3)]),
+        dtype=jnp.float32)
+    means = jnp.asarray(RNG.randn(n_train, 4), dtype=jnp.float32)
+    variances = jnp.asarray(RNG.rand(n_train, 4) + 0.5, dtype=jnp.float32)
+    recon, loss = models.predict_cgen_mnist(
+        vae, vae_params, gp, (images, aux), means, variances, train_aux, KEY)
+    assert recon.shape == images.shape
+    assert np.isfinite(loss)
+
+
+def test_vae_objective_identity_and_cvae():
+    b, L = 6, 4
+    vae = nets.MnistVAE(L=L)
+    images = jnp.asarray(RNG.rand(b, 28, 28, 1), dtype=jnp.float32)
+    vae_params = vae.init(KEY, images)
+    aux = jnp.asarray(RNG.rand(b, 5), dtype=jnp.float32)
+
+    out = models.forward_pass_vae(vae, vae_params, (images, aux), KEY,
+                                  sigma_gaussian_decoder=0.05)
+    K = 28 * 28
+    want = -(0.5 / 0.05**2) * np.asarray(out.recon_loss) * K \
+        - np.asarray(out.kl_term)
+    np.testing.assert_allclose(out.elbo, want, rtol=1e-5)
+
+    cvae = nets.MnistCVAE(L=L)
+    images3 = models.vae.cvae_inputs(images, aux[:, 1])
+    cvae_params = cvae.init(KEY, images3, aux[:, 1])
+    out_c = models.forward_pass_vae(cvae, cvae_params, (images, aux), KEY,
+                                    cvae=True)
+    assert out_c.recon_images.shape == images.shape
+    assert np.isfinite(out_c.elbo)
+
+
+def test_predict_cvae_segment_mean():
+    b, L, n_obj = 12, 4, 5
+    cvae = nets.MnistCVAE(L=L)
+    images = jnp.asarray(RNG.rand(b, 28, 28, 1), dtype=jnp.float32)
+    aux = jnp.asarray(np.hstack([
+        RNG.randint(0, n_obj, (b, 1)).astype(float),
+        RNG.rand(b, 1) * 2 * np.pi]), dtype=jnp.float32)
+    images3 = models.vae.cvae_inputs(images, aux[:, 1])
+    params = cvae.init(KEY, images3, aux[:, 1])
+
+    test_aux = jnp.asarray(np.hstack([
+        np.arange(n_obj)[:, None].astype(float),
+        RNG.rand(n_obj, 1) * 2 * np.pi]), dtype=jnp.float32)
+    test_images = jnp.asarray(RNG.rand(n_obj, 28, 28, 1), dtype=jnp.float32)
+    recon, loss = models.predict_cvae(cvae, params, images, aux, test_images,
+                                      test_aux, KEY, n_objects=n_obj)
+    assert recon.shape == test_images.shape
+    assert np.isfinite(loss)
+
+
+def test_ball_svgpvae_elbo():
+    batch, T = 5, 10
+    enc = nets.BallEncoder()
+    dec = nets.BallDecoder()
+    vids = jnp.asarray(RNG.rand(batch, T, 32, 32) > 0.8, dtype=jnp.float32)
+    ep = enc.init(KEY, vids)
+    dp = dec.init(KEY, jnp.zeros((batch, T, 2)))
+    gp = gpm.init_ball_svgp(6, 1.0, float(T), 2.0,
+                            config=SVGPConfig(jitter=1e-6))
+
+    out = models.ball_svgpvae_elbo(enc, ep, dec, dp, gp, vids, 1.0, KEY,
+                                   clip_qs=True)
+    assert out.elbo.shape == (batch,)
+    assert np.all(np.isfinite(np.asarray(out.elbo)))
+    np.testing.assert_allclose(out.prior_kl, out.ce_term + out.inside_elbo,
+                               rtol=1e-5)
+    assert out.gp_cov_elemwise_mean.shape == (T, T, 2)
+
+    def loss(p):
+        o = models.ball_svgpvae_elbo(enc, p, dec, dp, gp, vids, 1.0, KEY)
+        return -jnp.mean(o.elbo)
+    grads = jax.grad(loss)(ep)
+    assert all(np.all(np.isfinite(g))
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+@pytest.mark.parametrize("elbo_type", ["GPVAE_Pearce", "VAE", "NP"])
+def test_pearce_family_elbos(elbo_type):
+    batch, T = 4, 12
+    enc = nets.BallEncoder()
+    dec = nets.BallDecoder()
+    vids = jnp.asarray(RNG.rand(batch, T, 32, 32) > 0.8, dtype=jnp.float32)
+    ep = enc.init(KEY, vids)
+    dp = dec.init(KEY, jnp.zeros((batch, T, 2)))
+    lt = 0.001 if elbo_type == "VAE" else 2.0
+
+    out = models.pearce_elbo(enc, ep, dec, dp, vids, 1.0, KEY, lt,
+                             elbo_type=elbo_type)
+    assert out.elbo.shape == (batch,)
+    assert np.all(np.isfinite(np.asarray(out.elbo)))
+
+
+def test_casale_forward_and_predict():
+    N, b, L, M, P, Q = 20, 5, 4, 3, 4, 5
+    vae = nets.MnistVAE(L=L)
+    images_all = jnp.asarray(RNG.rand(N, 28, 28, 1), dtype=jnp.float32)
+    vae_params = vae.init(KEY, images_all[:b])
+
+    gp = gpm.init_casale_gp(RNG.randn(P, M), object_kernel_normalize=False,
+                            ov_joint=True)
+    angles = np.sort(RNG.rand(Q) * 2 * np.pi)
+    mask = np.zeros(P * Q, bool)
+    mask[RNG.choice(P * Q, N, replace=False)] = True
+    V = gpm.v_matrix(gp, jnp.asarray(angles, dtype=jnp.float32),
+                     jnp.arange(P), jnp.asarray(mask))
+
+    Z = models.encode_full_casale(vae, vae_params, images_all, KEY,
+                                  clip_qs=True)
+    assert Z.shape == (N, L)
+    a, B, c = gpm.taylor_coeffs(gp, Z, V)
+
+    # batch with global indices in aux column 0
+    ids = np.repeat(np.arange(P), Q)[mask]
+    angs = np.tile(angles, P)[mask]
+    aux_all = np.hstack([np.arange(N)[:, None].astype(float),
+                         ids[:, None].astype(float), angs[:, None]])
+    batch_rows = RNG.choice(N, b, replace=False)
+    batch = (images_all[batch_rows],
+             jnp.asarray(aux_all[batch_rows], dtype=jnp.float32))
+
+    out = models.forward_pass_casale(vae, vae_params, gp, batch, KEY,
+                                     a, B, c, V, beta=0.001)
+    assert np.isfinite(out.elbo)
+    assert out.recon_images.shape == (b, 28, 28, 1)
+
+    test_aux = np.hstack([ids[:3, None].astype(float), angs[:3, None]])
+    recon, loss = models.predict_cgen_casale(
+        vae, vae_params, gp, images_all[:3],
+        jnp.asarray(test_aux, dtype=jnp.float32),
+        jnp.asarray(aux_all, dtype=jnp.float32), V, Z, KEY)
+    assert recon.shape == (3, 28, 28, 1)
+    assert np.isfinite(loss)
+
+
+def test_deep_svigp_forward_and_predict():
+    b, L, M, m = 6, 4, 3, 5
+    dec = nets.SVIGPDecoder(L=L)
+    dec_params = dec.init(KEY, jnp.zeros((b, L)))
+    ip = np.hstack([np.arange(m)[:, None], RNG.rand(m, 1) * 2 * np.pi,
+                    RNG.randn(m, M)])
+    gp = gpm.init_svigp(ip, RNG.randn(9, M), L=L, N_train=50)
+
+    images = jnp.asarray(RNG.rand(b, 28, 28, 1), dtype=jnp.float32)
+    aux = jnp.asarray(np.hstack([
+        np.arange(b)[:, None].astype(float),
+        RNG.randint(0, 9, (b, 1)).astype(float),
+        RNG.rand(b, 1) * 2 * np.pi, RNG.randn(b, M)]), dtype=jnp.float32)
+
+    out = models.forward_pass_deep_svigp(dec, dec_params, gp, (images, aux))
+    assert np.isfinite(out.elbo)
+    assert out.latent_samples.shape == (b, L)
+
+    def loss(g, dp):
+        return -models.forward_pass_deep_svigp(dec, dp, g,
+                                               (images, aux)).elbo
+    gg, gd = jax.grad(loss, argnums=(0, 1))(gp, dec_params)
+    assert np.abs(np.asarray(gg.noise)) > 0
+    assert all(np.all(np.isfinite(x))
+               for x in jax.tree_util.tree_leaves((gg, gd)))
+
+
+def test_sprites_forward_and_cgen():
+    fpc, n_char, L, L_act, L_chr = 4, 3, 8, 3, 5
+    b = fpc * n_char
+    vae = nets.SpritesVAE(L=L)
+    repr_net = nets.SpritesReprNet(L=L_chr)
+    images = jnp.asarray(RNG.rand(b, 64, 64, 3), dtype=jnp.float32)
+    vae_params = vae.init(KEY, images)
+    repr_params = repr_net.init(KEY, images)
+
+    m, n_act = 6, 9
+    ip = RNG.randn(m, L_act + L_chr)
+    gplvm = RNG.randn(n_act, L_act)
+    cfg = SVGPConfig(jitter=1e-2, N_train=100)
+    gp = gpm.init_sprites_svgp(ip, gplvm, L_action=L_act, config=cfg)
+    action_ids = jnp.asarray(RNG.randint(0, n_act, b), dtype=jnp.float32)
+
+    out = models.forward_pass_svgpvae(
+        vae, vae_params, gp, (images, action_ids), KEY, beta=0.001,
+        C_ma=0.0, lagrange_mult=1.0, alpha=0.99, kappa=np.sqrt(0.0075),
+        geco=True, repr_apply=repr_net.apply, repr_params=repr_params,
+        frames_per_char=fpc)
+    assert np.isfinite(out.elbo)
+
+    # cgen for unseen characters: 72 frames per char layout
+    b_test = 72 * 2
+    test_images = jnp.asarray(RNG.rand(b_test, 64, 64, 3), dtype=jnp.float32)
+    test_ids = jnp.asarray(np.tile(np.arange(9), 16), dtype=jnp.float32)
+    means = jnp.asarray(RNG.randn(40, L), dtype=jnp.float32)
+    variances = jnp.asarray(RNG.rand(40, L) + 0.5, dtype=jnp.float32)
+    aux_train = jnp.asarray(np.hstack([
+        RNG.randint(0, n_act, (40, 1)).astype(float), RNG.randn(40, L_chr)]),
+        dtype=jnp.float32)
+    mt, si, kmi = models.precompute_gp_params(gp, means, variances, aux_train)
+    recon, tgt, loss = models.predict_cgen_sprites(
+        vae, vae_params, gp, repr_net.apply, repr_params,
+        test_images, test_ids, mt, si, kmi, n_context=36,
+        n_actions_total=72, key=KEY)
+    assert recon.shape == (2 * 36, 64, 64, 3)
+    assert tgt.shape == recon.shape
+    assert np.isfinite(loss)
