@@ -1,0 +1,141 @@
+"""Training-runtime and data-parallel mesh tests (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from svgpvae_tpu import gp as gpm
+from svgpvae_tpu import models, nn as nets, parallel, train
+from svgpvae_tpu.gp.svgp import SVGPConfig
+
+KEY = jax.random.PRNGKey(0)
+RNG = np.random.RandomState(5)
+
+
+def test_parse_opt_regime():
+    n, sched = train.parse_opt_regime(["VAE-3", "GP-2", "joint-1"])
+    assert n == 6
+    assert sched == ["VAE", "VAE", "VAE", "GP", "GP", "joint"]
+
+
+def test_trainable_mask_and_frozen_updates():
+    params = {"vae": {"w": jnp.ones(3)}, "gp": {"l": jnp.ones(())}}
+    mask = train.trainable_mask(params,
+                                lambda path, leaf: "gp" not in str(path))
+    tx = train.make_optimizer(0.1, mask=mask)
+    opt_state = tx.init(params)
+    grads = {"vae": {"w": jnp.ones(3)}, "gp": {"l": jnp.ones(())}}
+    updates, _ = tx.update(grads, opt_state, params)
+    assert np.all(np.asarray(updates["gp"]["l"]) == 0.0)
+    assert np.any(np.asarray(updates["vae"]["w"]) != 0.0)
+
+
+def test_value_clip_optimizer():
+    params = {"w": jnp.zeros(2)}
+    tx = train.make_optimizer(1.0, clip_grad_value=0.5)
+    opt_state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray([100.0, -100.0])}, opt_state,
+                           params)
+    # adam normalizes, so just check finiteness; the clip itself:
+    from svgpvae_tpu.linalg import tree_value_clip
+    clipped = tree_value_clip({"w": jnp.asarray([100.0, -100.0])}, 0.5)
+    np.testing.assert_allclose(clipped["w"], [0.5, -0.5])
+
+
+def test_geco_effective_alpha():
+    assert float(train.geco_effective_alpha(jnp.asarray(0), 0.99)) == 0.0
+    np.testing.assert_allclose(
+        float(train.geco_effective_alpha(jnp.asarray(5), 0.99)), 0.99,
+        rtol=1e-6)
+
+
+def _tiny_svgpvae(b=16, L=2, M=2, m=4, n_obj=6):
+    vae = nets.MnistVAE(L=L)
+    images = jnp.asarray(RNG.rand(b, 28, 28, 1), dtype=jnp.float32)
+    vae_params = vae.init(KEY, images)
+    ip = np.hstack([np.arange(m)[:, None], RNG.rand(m, 1) * 2 * np.pi,
+                    RNG.randn(m, M)])
+    gp = gpm.init_mnist_svgp(ip, RNG.randn(n_obj, M),
+                             config=SVGPConfig(jitter=1e-6, N_train=64))
+    aux = jnp.asarray(np.hstack([
+        RNG.randint(0, n_obj, (b, 1)).astype(float),
+        RNG.rand(b, 1) * 2 * np.pi, RNG.randn(b, M)]), dtype=jnp.float32)
+    params = {"vae": vae_params, "gp": gp}
+
+    def loss_fn(params, batch, key, geco, step):
+        alpha = train.geco_effective_alpha(step, 0.99)
+        out = models.forward_pass_svgpvae(
+            vae, params["vae"], params["gp"], batch, key, beta=0.001,
+            C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
+            kappa=np.sqrt(0.02), geco=True)
+        new_geco = train.GECOState(C_ma=out.C_ma,
+                                   lagrange_mult=out.lagrange_mult)
+        return out.elbo, (new_geco, {"recon": out.recon_loss})
+
+    return vae, params, (images, aux), loss_fn
+
+
+def test_train_step_runs_and_updates_geco():
+    vae, params, batch, loss_fn = _tiny_svgpvae()
+    tx = train.make_optimizer(1e-3)
+    state = train.TrainState.create(params, tx, KEY)
+    step = train.make_train_step(loss_fn, tx, donate=False)
+
+    state1, m1 = step(state, batch)
+    assert int(state1.step) == 1
+    assert np.isfinite(float(m1["loss"]))
+    # first step uses alpha=0 -> C_ma == recon/b exactly
+    np.testing.assert_allclose(float(state1.geco.C_ma),
+                               float(m1["recon"]) / batch[0].shape[0],
+                               rtol=1e-5)
+    state2, m2 = step(state1, batch)
+    assert int(state2.step) == 2
+    assert float(state2.geco.lagrange_mult) != 1.0
+
+
+def test_data_parallel_matches_single_device():
+    vae, params, batch, loss_fn = _tiny_svgpvae(b=16)
+    tx = train.make_optimizer(1e-3)
+
+    # single device
+    state = train.TrainState.create(params, tx, KEY)
+    step = train.make_train_step(loss_fn, tx, donate=False)
+    s1, m1 = step(state, batch)
+
+    # 8-device mesh, batch sharded
+    mesh = parallel.make_mesh(8)
+    state_r = parallel.replicate(mesh, train.TrainState.create(params, tx,
+                                                               KEY))
+    batch_s = parallel.shard_batch(mesh, batch)
+    step_dp = parallel.data_parallel_jit(
+        train.make_train_step(loss_fn, tx, donate=False), mesh)
+    s2, m2 = step_dp(state_r, batch_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+
+def test_sharded_precompute_matches_unsharded():
+    N, L, M, m, n_obj = 64, 3, 2, 5, 6
+    ip = np.hstack([np.arange(m)[:, None], RNG.rand(m, 1) * 2 * np.pi,
+                    RNG.randn(m, M)])
+    gp = gpm.init_mnist_svgp(ip, RNG.randn(n_obj, M),
+                             config=SVGPConfig(jitter=1e-6, N_train=N))
+    aux = jnp.asarray(np.hstack([
+        RNG.randint(0, n_obj, (N, 1)).astype(float),
+        RNG.rand(N, 1) * 2 * np.pi, RNG.randn(N, M)]), dtype=jnp.float32)
+    means = jnp.asarray(RNG.randn(N, L), dtype=jnp.float32)
+    variances = jnp.asarray(RNG.rand(N, L) + 0.5, dtype=jnp.float32)
+
+    want = gpm.precompute_test_posterior_terms(gp, means, variances, aux)
+    mesh = parallel.make_mesh(8)
+    got = parallel.sharded_precompute_gp_params(gp, means, variances, aux,
+                                                mesh)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4,
+                                   atol=1e-5)
