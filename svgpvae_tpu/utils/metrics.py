@@ -1,0 +1,104 @@
+"""Metrics and result persistence (L-observability, SURVEY.md §5.5).
+
+  * `mse_rotation` — the moving-ball trajectory metric: affine-align
+    predicted latents to ground-truth 2-D paths by least squares, report
+    the residual MSE (reference: MSE_rotation, utils.py:195-245).
+  * `ResultSaver` — named-column row appender persisted as CSV (replacing
+    the pickled-DataFrame pandas_res_saver, utils.py:436-468; CSV keeps
+    results greppable and pandas-loadable without pickle-version traps).
+  * `count_params` — trainable-parameter count
+    (reference: print_trainable_vars, utils.py:878-888).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+def mse_rotation(X: np.ndarray, Y: np.ndarray,
+                 VX: Optional[np.ndarray] = None
+                 ) -> Tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+    """Least-squares affine alignment of latents X onto true paths Y.
+
+    X, Y: (batch, tmax, 2); VX optional per-point diagonal variances.
+    Returns (X_aligned, W (3, 2), MSE, VX_aligned (batch, tmax, 2, 2)).
+    Reference: utils.py:195-245.
+    """
+    batch, tmax, _ = X.shape
+    Xf = np.concatenate([X.reshape(-1, 2), np.ones((batch * tmax, 1))],
+                        axis=1)
+    Yf = Y.reshape(-1, 2)
+    W, residuals, _, _ = np.linalg.lstsq(Xf, Yf, rcond=None)
+    mse = float(residuals.sum()) if len(residuals) == 2 else float("nan")
+    X_rot = (Xf @ W).reshape(batch, tmax, 2)
+
+    VX_rot = np.zeros((batch, tmax, 2, 2))
+    if VX is not None:
+        A = W[:2, :]  # (2, 2) linear part
+        # rotate diagonal covariances: A^T diag(v) A, batched
+        VX_rot = np.einsum("ij,btj,jk->btik", A.T, VX, A)
+    return X_rot, W, mse, VX_rot
+
+
+class ResultSaver:
+    """Append named-value rows; flush to CSV every `flush_every` rows.
+
+    Column-compatible replacement for pandas_res_saver (utils.py:436-468):
+    recovers an existing file when the header matches, otherwise starts a
+    timestamped sibling.
+    """
+
+    def __init__(self, path: str, colnames: Sequence[str],
+                 flush_every: int = 10):
+        self.colnames = list(colnames)
+        self.flush_every = flush_every
+        self._rows: List[list] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                header = f.readline().strip().split(",")
+            if header != self.colnames:
+                import time
+                path = f"{path}_{time.time()}"
+        self.path = path
+        if not os.path.exists(path):
+            with open(path, "w", newline="") as f:
+                csv.writer(f).writerow(self.colnames)
+
+    def __call__(self, row: Sequence) -> None:
+        assert len(row) == len(self.colnames), \
+            f"expected {len(self.colnames)} values, got {len(row)}"
+        self._rows.append([_scalarize(v) for v in row])
+        if len(self._rows) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._rows:
+            return
+        with open(self.path, "a", newline="") as f:
+            csv.writer(f).writerows(self._rows)
+        self._rows = []
+
+
+def _scalarize(v):
+    arr = np.asarray(v)
+    if arr.ndim == 0:
+        return arr.item()
+    return np.array2string(arr.ravel(), max_line_width=10**9, threshold=64)
+
+
+def count_params(params, print_shapes: bool = False) -> int:
+    """Total parameter count of a pytree (reference:
+    print_trainable_vars, utils.py:878-888)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    total = 0
+    for leaf in leaves:
+        n = int(np.prod(np.shape(leaf))) if np.ndim(leaf) else 1
+        total += n
+        if print_shapes:
+            print(np.shape(leaf), n)
+    return total

@@ -1,0 +1,169 @@
+"""Data-layer and utils tests."""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svgpvae_tpu import data, utils, train
+
+REF_EVAL = "/root/reference/MNIST data/eval_data3.p"
+
+
+def test_ball_path_and_video_stats():
+    traj, vids = data.make_video_batch(tmax=20, batch=8, lt=5.0, seed=1)
+    assert traj.shape == (8, 20, 2)
+    assert vids.shape == (8, 20, 32, 32)
+    assert set(np.unique(vids)).issubset({0.0, 1.0})
+    # GP trajectories: unit marginal variance, strong short-lag correlation
+    assert abs(np.std(traj) - 1.0) < 0.3
+    lag1 = np.mean(traj[:, :-1, :] * traj[:, 1:, :])
+    assert lag1 > 0.8
+
+
+def test_ball_video_fn_matches_numpy_stats():
+    fn = data.make_video_batch_fn(tmax=12, batch=6, lt=3.0)
+    vids = fn(jax.random.PRNGKey(0))
+    assert vids.shape == (6, 12, 32, 32)
+    # ball exists in (almost) every frame and has bounded area (< pi*(r+1)^2)
+    area = np.asarray(vids).sum(axis=(2, 3))
+    assert np.median(area) > 0
+    assert area.max() <= np.pi * 16 + 10
+
+
+def test_circles_squares_probes():
+    traj_c, v_c = data.make_circles()
+    traj_s, v_s = data.make_squares()
+    assert v_c.shape == (1, 30, 32, 32)
+    assert v_s.shape == (1, 30, 32, 32)
+    # 19 ring points; radii 0, 1, 2
+    radii = np.linalg.norm(traj_c[:19], axis=1)
+    assert np.allclose(sorted(set(np.round(radii, 6)))[0], 0)
+    assert np.isclose(radii[1:9], 1.0).all()
+    assert np.isclose(radii[9:19], 2.0).all()
+
+
+def test_mse_rotation_recovers_affine_map():
+    rng = np.random.RandomState(0)
+    Y = rng.randn(4, 10, 2)
+    A = np.asarray([[0.5, -1.2], [0.8, 0.3]])
+    b = np.asarray([0.7, -0.4])
+    X = (Y - b) @ np.linalg.inv(A.T)  # so that X @ A^T + b == Y
+    X_rot, W, mse, _ = utils.mse_rotation(X, Y)
+    np.testing.assert_allclose(X_rot, Y, atol=1e-8)
+    assert mse < 1e-12
+
+
+@pytest.mark.skipif(not os.path.exists(REF_EVAL),
+                    reason="shipped eval pickle unavailable")
+def test_rotated_mnist_generation_schema(tmp_path):
+    base = data.derive_base_images_from_eval(REF_EVAL, n_target=60)
+    assert base.shape == (60, 28, 28)
+    out = data.generate_rotated_mnist(base, str(tmp_path), digits="3",
+                                      seed=0)
+    train_d, eval_d, test_d = (out["train"], out["eval"], out["test"])
+    # schema: images (N, 28, 28, 1); aux (N, 10) = [id, angle, pca0..7]
+    assert train_d["images"].shape[1:] == (28, 28, 1)
+    assert train_d["aux_data"].shape[1] == 10
+    # eval gets valid_set_size of ids at all 16 angles
+    assert len(eval_d["images"]) == 6 * 16
+    # test set holds exactly one angle, disjoint from train angles
+    train_angles = set(np.round(train_d["aux_data"][:, 1], 8))
+    test_angles = set(np.round(test_d["aux_data"][:, 1], 8))
+    assert len(test_angles) == 1
+    assert test_angles.isdisjoint(train_angles)
+    # 25% drop of the 54 train-ids x 15 angles grid
+    assert len(train_d["images"]) == int(54 * 15 * 0.75)
+
+    # loader round-trip + global index
+    tr, ev, te = data.load_rotated_mnist(str(tmp_path), digits="3")
+    assert len(tr["images"]) == len(train_d["images"])
+    aux_gi = data.add_global_index(tr["aux_data"])
+    assert aux_gi.shape[1] == 11
+    np.testing.assert_allclose(aux_gi[:, 0], np.arange(len(aux_gi)))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_EVAL),
+                    reason="shipped eval pickle unavailable")
+def test_inducing_point_initializer(tmp_path):
+    base = data.derive_base_images_from_eval(REF_EVAL, n_target=50)
+    out = data.generate_rotated_mnist(base, None, digits="3", seed=0)
+    ip = data.generate_init_inducing_points(out["train"], n=2, use_pca=True,
+                                            M=8)
+    assert ip.shape == (32, 10)  # 2 per angle x 16 angles, [id, angle, pca8]
+    np.testing.assert_allclose(ip[:, 0], np.arange(32))
+    angles = np.unique(ip[:, 1])
+    assert len(angles) == 16
+
+    # fractional n < 1 subsamples angles
+    ip_frac = data.generate_init_inducing_points(out["train"], n=0.5,
+                                                 use_pca=False, M=8)
+    assert ip_frac.shape == (8, 10)
+
+
+def test_batch_iterator_tail():
+    d = {"images": np.arange(10)[:, None], "aux_data": np.arange(10)[:, None]}
+    batches = list(data.batch_iterator(d, 4))
+    assert [len(b[0]) for b in batches] == [4, 4, 2]
+    batches = list(data.batch_iterator(d, 4, drop_remainder=True))
+    assert [len(b[0]) for b in batches] == [4, 4]
+
+
+def test_synthetic_sprites_layout_and_pca_init(tmp_path):
+    splits = data.generate_synthetic_sprites(n_train_chars=4,
+                                             n_test_chars=2,
+                                             n_frames_train=8)
+    tr = splits["train"]
+    assert tr["frames"].shape == (32, 64, 64, 3)
+    assert tr["aux_data"].shape == (32, 2)
+    assert splits["test_character"]["frames"].shape == (144, 64, 64, 3)
+
+    # shard round-trip
+    data.save_sprites_shards(splits, str(tmp_path), shard_size=10)
+    loaded = data.load_sprites(str(tmp_path))
+    np.testing.assert_allclose(loaded["train"]["frames"], tr["frames"])
+
+    gplvm, ip = data.sprites_pca_init(tr, m=2, L_action=3, L_character=4)
+    assert gplvm.shape == (72, 3)
+    assert ip.shape == (144, 7)
+
+
+def test_result_saver_roundtrip(tmp_path):
+    path = str(tmp_path / "res.csv")
+    saver = utils.ResultSaver(path, ["step", "elbo"], flush_every=2)
+    saver([1, 2.5])
+    saver([2, jnp.asarray(3.5)])
+    with open(path) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "step,elbo"
+    assert len(lines) == 3
+
+    # header-compatible recovery appends to the same file
+    saver2 = utils.ResultSaver(path, ["step", "elbo"], flush_every=1)
+    saver2([3, 4.5])
+    with open(path) as f:
+        assert len(f.read().strip().split("\n")) == 4
+
+
+def test_count_params():
+    params = {"a": np.zeros((3, 4)), "b": {"c": np.zeros(5)}}
+    assert utils.count_params(params) == 17
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+    params = {"w": jnp.arange(4.0), "gp": {"l": jnp.asarray(2.0)}}
+    tx = train.make_optimizer(1e-3)
+    state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    ckpt = str(tmp_path / "ckpt")
+    utils.save_checkpoint(ckpt, state, step=7)
+    assert utils.latest_step(ckpt) == 7
+    restored = utils.restore_checkpoint(ckpt, state)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(restored.params["w"], state.params["w"])
+    np.testing.assert_allclose(restored.geco.lagrange_mult, 1.0)
