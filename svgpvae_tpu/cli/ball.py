@@ -1,0 +1,244 @@
+"""Moving-ball experiment driver.
+
+CLI-compatible rebuild of the reference driver (BALL_experiment.py:21-334):
+ELBO families GPVAE_Pearce | VAE | NP | SVGPVAE_Hensman | SVGPVAE_Titsias,
+batch 35 videos of tmax frames, step-based Adam loop with fresh on-device
+video batches every step, eval every 1000 steps on fixed pickled test
+batches (test ELBO terms + MSE via affine alignment), latent plots every
+10000, checkpoint + preds every 50000, restore-on-start.
+
+Run:  python -m svgpvae_tpu.cli.ball --elbo VAE            (smoke test)
+      python -m svgpvae_tpu.cli.ball --elbo SVGPVAE_Hensman --clip_qs
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgpvae_tpu import data, models, train, utils
+from svgpvae_tpu import nn as nets
+from svgpvae_tpu.gp.svgp import SVGPConfig, init_ball_svgp
+from svgpvae_tpu.utils import plots
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Moving ball experiment")
+    p.add_argument("--steps", type=int, default=25000)
+    p.add_argument("--beta0", type=float, default=1.0)
+    p.add_argument("--elbo", type=str, default="GPVAE_Pearce",
+                   choices=["GPVAE_Pearce", "VAE", "NP", "SVGPVAE_Hensman",
+                            "SVGPVAE_Titsias"])
+    p.add_argument("--modellt", type=float, default=2.0)
+    p.add_argument("--base_dir", type=str, default=os.getcwd())
+    p.add_argument("--expid", type=str, default="debug")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--tmax", type=int, default=30)
+    p.add_argument("--m", type=int, default=15)
+    p.add_argument("--GP_joint", action="store_true")
+    p.add_argument("--ip_joint", action="store_true")
+    p.add_argument("--clip_qs", action="store_true")
+    p.add_argument("--show_pics", action="store_true")
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--squares_circles", action="store_true")
+    p.add_argument("--ip_min", type=float, default=1.0)
+    p.add_argument("--ip_max", type=float, default=30.0)
+    p.add_argument("--jitter", type=float, default=1e-9)
+    p.add_argument("--clip_grad", action="store_true")
+    p.add_argument("--vidlt", type=float, default=2.0)
+    p.add_argument("--GP_init", type=float, default=2.0)
+    # runtime extensions (not in the reference)
+    p.add_argument("--eval_every", type=int, default=1000)
+    p.add_argument("--plot_every", type=int, default=10000)
+    p.add_argument("--ckpt_every", type=int, default=50000)
+    return p
+
+
+def run_experiment(args) -> dict:
+    batch, px, py, r = 35, 32, 32, 3.0
+    tmax = args.tmax
+    model_lt = 0.001 if args.elbo == "VAE" else args.modellt
+    assert (model_lt == args.vidlt or args.GP_joint or args.elbo == "VAE"), \
+        "model/data GP length scales must match unless jointly optimized"
+
+    run_dir = None
+    if args.save:
+        run_dir = utils.make_checkpoint_folder(
+            args.base_dir, args.expid, f"{args.elbo}_{args.beta0}")
+        utils.dump_args(run_dir, args)
+        print(f"checkpoint dir: {run_dir}")
+
+    # fixed reproducible test batches, cached next to the experiment
+    cache = os.path.join(args.base_dir,
+                         f"Test_Batches_{args.vidlt}_{tmax}.pkl")
+    if os.path.isfile(cache):
+        with open(cache, "rb") as f:
+            test_batches = pickle.load(f)
+    else:
+        test_batches = data.make_test_batches(10, tmax=tmax, px=px, py=py,
+                                              lt=args.vidlt, batch=batch,
+                                              r=r)
+        os.makedirs(args.base_dir, exist_ok=True)
+        with open(cache, "wb") as f:
+            pickle.dump(test_batches, f)
+
+    key = jax.random.PRNGKey(0 if args.seed is None else args.seed)
+    key, init_key = jax.random.split(key)
+
+    encoder = nets.BallEncoder()
+    decoder = nets.BallDecoder(px=px, py=py)
+    dummy_vids = jnp.zeros((batch, tmax, px, py))
+    enc_params = encoder.init(init_key, dummy_vids)
+    dec_params = decoder.init(init_key, jnp.zeros((batch, tmax, 2)))
+    params = {"enc": enc_params, "dec": dec_params}
+
+    is_svgpvae = "SVGPVAE" in args.elbo
+    if is_svgpvae:
+        cfg = SVGPConfig(titsias="Titsias" in args.elbo, jitter=args.jitter)
+        gp = init_ball_svgp(
+            args.m,
+            tmin=args.ip_min if args.ip_joint else 1.0,
+            tmax=args.ip_max if args.ip_joint else float(tmax),
+            length_scale_init=args.GP_init if args.GP_joint else args.vidlt)
+        gp = gp.replace(config=cfg)
+        params["gp"] = gp
+
+    def trainable(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if "inducing_points" in name:
+            return args.ip_joint
+        if "length_scale" in name:
+            return args.GP_joint
+        return True
+
+    mask = train.trainable_mask(params, trainable)
+    tx = train.make_optimizer(
+        1e-3, mask=mask if is_svgpvae else None,
+        clip_grad_value=1e5 if args.clip_grad else None)
+
+    def outputs_fn(params, vids, key, beta):
+        if is_svgpvae:
+            return models.ball_svgpvae_elbo(
+                encoder, params["enc"], decoder, params["dec"],
+                params["gp"], vids, beta, key, clip_qs=args.clip_qs)
+        return models.pearce_elbo(
+            encoder, params["enc"], decoder, params["dec"], vids, beta, key,
+            model_lt, elbo_type=args.elbo)
+
+    def loss_fn(params, vids, key, geco, step):
+        out = outputs_fn(params, vids, key, args.beta0)
+        metrics = {"elbo": jnp.mean(out.elbo), "recon": jnp.mean(out.recon),
+                   "prior_kl": jnp.mean(out.prior_kl)}
+        return -jnp.mean(out.elbo), (geco, metrics)
+
+    state = train.TrainState.create(params, tx, key)
+    ckpt_dir = os.path.join(run_dir, "ckpt") if run_dir else None
+    if ckpt_dir and utils.latest_step(ckpt_dir) is not None:
+        state = utils.restore_checkpoint(ckpt_dir, state)
+        print(f"restored checkpoint at step {int(state.step)}")
+
+    step_fn = train.make_train_step(loss_fn, tx, donate=False)
+    video_fn = data.make_video_batch_fn(tmax=tmax, px=px, py=py,
+                                        lt=args.vidlt, batch=batch, r=r)
+
+    @jax.jit
+    def eval_fn(params, vids, key):
+        return outputs_fn(params, vids, key, 1.0)
+
+    saver = None
+    if args.save:
+        cols = ["step", "loss", "elbo", "recon", "prior_kl", "min_qv",
+                "max_qv", "min_pv", "max_pv", "inside_elbo", "ce_term",
+                "MSE", "beta", "time"]
+        saver = utils.ResultSaver(os.path.join(run_dir, "res",
+                                               "ELBO_results.csv"), cols)
+
+    data_key = jax.random.PRNGKey(1234 if args.seed is None else args.seed + 1)
+    eval_key = jax.random.PRNGKey(99)
+    tt0, td0 = test_batches[0]
+    td0 = jnp.asarray(td0, jnp.float32)
+    last_mse = float("nan")
+    t_start = time.time()
+
+    start = int(state.step)
+    for t in range(start, args.steps):
+        data_key, k = jax.random.split(data_key)
+        vids = video_fn(k)
+        state, metrics = step_fn(state, vids)
+        g_s = int(state.step)
+
+        if g_s % args.eval_every == 0:
+            out = eval_fn(state.params, td0, eval_key)
+            _, _, mse, _ = utils.mse_rotation(np.asarray(out.p_m), tt0,
+                                              np.asarray(out.p_v))
+            last_mse = mse
+            print(f"{g_s}: elbo {float(jnp.mean(out.elbo)):.3f} "
+                  f"recon {float(jnp.mean(out.recon)):.3f} "
+                  f"priorKL {float(jnp.mean(out.prior_kl)):.3f} MSE {mse:.4f}")
+            if is_svgpvae:
+                print(f"   inside-ELBO {float(jnp.mean(out.inside_elbo)):.3f}"
+                      f" CE {float(jnp.mean(out.ce_term)):.3f}")
+            if saver:
+                saver([g_s, -float(jnp.mean(out.elbo)),
+                       float(jnp.mean(out.elbo)), float(jnp.mean(out.recon)),
+                       float(jnp.mean(out.prior_kl)),
+                       float(out.qnet_var.min()), float(out.qnet_var.max()),
+                       float(out.p_v.min()), float(out.p_v.max()),
+                       float(jnp.mean(out.inside_elbo)),
+                       float(jnp.mean(out.ce_term)),
+                       mse, args.beta0, time.time()])
+
+        if run_dir and g_s % args.plot_every == 0:
+            out = eval_fn(state.params, td0, eval_key)
+            rp, W, mse, rv = utils.mse_rotation(np.asarray(out.p_m), tt0,
+                                                np.asarray(out.p_v))
+            plots.plot_latents(np.asarray(td0), tt0,
+                               np.asarray(out.pred_vid), rp, rv,
+                               save_path=os.path.join(
+                                   run_dir, "pics", f"{g_s:06d}.png"))
+            if args.squares_circles:
+                for kind, maker in (("circles", data.make_circles),
+                                    ("squares", data.make_squares)):
+                    traj, vid_probe = maker(tmax=tmax)
+                    probe_batch = jnp.asarray(
+                        np.tile(vid_probe, (batch, 1, 1, 1)), jnp.float32)
+                    probe_out = eval_fn(state.params, probe_batch, eval_key)
+                    qm = np.asarray(probe_out.qnet_mu[0])
+                    qm_aligned = np.hstack([qm, np.ones((tmax, 1))]) @ W
+                    plots.plot_geometry_probe(
+                        traj, qm_aligned, vid_probe, kind,
+                        save_path=os.path.join(run_dir, "pics",
+                                               f"{g_s:06d}_{kind}.png"))
+
+        if run_dir and g_s % args.ckpt_every == 0:
+            utils.save_checkpoint(ckpt_dir, state, g_s)
+            out = eval_fn(state.params, td0, eval_key)
+            rp, _, _, rv = utils.mse_rotation(np.asarray(out.p_m), tt0,
+                                              np.asarray(out.p_v))
+            preds = (np.asarray(td0), tt0, np.asarray(out.pred_vid), rp, rv)
+            with open(os.path.join(run_dir, "preds",
+                                   f"preds_{g_s}.p"), "wb") as f:
+                pickle.dump(preds, f)
+            print(f"model saved: {run_dir}")
+
+    elapsed = time.time() - t_start
+    steps_done = args.steps - start
+    print(f"trained {steps_done} steps in {elapsed:.1f}s "
+          f"({steps_done / max(elapsed, 1e-9):.2f} steps/s); "
+          f"final MSE {last_mse:.4f}")
+    if saver:
+        saver.flush()
+    if run_dir:
+        utils.save_checkpoint(ckpt_dir, state, int(state.step))
+    return {"mse": last_mse, "steps_per_sec": steps_done / max(elapsed, 1e-9),
+            "state": state}
+
+
+if __name__ == "__main__":
+    run_experiment(build_parser().parse_args())
