@@ -20,4 +20,17 @@ Design principles (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Honor JAX_PLATFORMS even when a sitecustomize hook pre-registered a
+# different backend (this environment's axon/TPU tunnel registers itself at
+# interpreter start and wins over the env var unless re-asserted here).
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backends already initialized
+        pass
+
 from svgpvae_tpu import kernels, linalg  # noqa: F401

@@ -1,0 +1,736 @@
+"""Rotated-MNIST experiment driver.
+
+CLI-compatible rebuild of the reference driver (MNIST_experiment.py):
+  * run_svgpvae  — SVGPVAE_Hensman / SVGPVAE_Titsias / VAE / CVAE
+                   (reference :30-541), with GECO, opt-regime schedule,
+                   eval/test recon and conditional-generation pipelines
+  * run_svigp    — deep SVIGP_Hensman (reference :544-783)
+  * run_casale   — Casale GPVAE with full-train-set Taylor coefficients and
+                   3-way VAE/GP/joint optimization (reference :786-1112)
+
+North-star config (BASELINE.md):
+  python -m svgpvae_tpu.cli.mnist --elbo SVGPVAE_Hensman --ip_joint \
+      --GP_joint --ov_joint --clip_qs --GECO --PCA
+
+Dataset bootstrap: raw MNIST cannot be downloaded in this environment; if
+the pickles are missing under --mnist_data_path they are generated from the
+reference's shipped eval pickle (40 real digit-3 base images augmented to
+400 — see data.mnist.derive_base_images_from_eval), reproducing the exact
+reference sizes N_train=4050, N_eval=640, N_test=270 per digit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgpvae_tpu import data, models, train, utils
+from svgpvae_tpu import gp as gpm
+from svgpvae_tpu import nn as nets
+from svgpvae_tpu.gp.svgp import SVGPConfig
+from svgpvae_tpu.utils import plots
+
+REF_EVAL_PICKLE = "/root/reference/MNIST data/eval_data3.p"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Rotated MNIST experiment")
+    p.add_argument("--expid", type=str, default="debug_MNIST")
+    p.add_argument("--base_dir", type=str, default=os.getcwd())
+    p.add_argument("--elbo", type=str, default="VAE",
+                   choices=["VAE", "CVAE", "SVGPVAE_Hensman",
+                            "SVGPVAE_Titsias", "GPVAE_Casale",
+                            "SVIGP_Hensman"])
+    p.add_argument("--mnist_data_path", type=str, default="mnist_data/")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--nr_epochs", type=int, default=1000)
+    p.add_argument("--beta", type=float, default=0.001)
+    p.add_argument("--nr_inducing_points", type=float, default=2,
+                   help="object vectors per angle")
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--GP_joint", action="store_true")
+    p.add_argument("--ip_joint", action="store_true")
+    p.add_argument("--ov_joint", action="store_true")
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--save_model_weights", action="store_true")
+    p.add_argument("--dataset", type=str, default="3",
+                   choices=["3", "36", "13679"])
+    p.add_argument("--show_pics", action="store_true")
+    p.add_argument("--opt_regime", type=str, default=["joint-1000"],
+                   nargs="+")
+    p.add_argument("--L", type=int, default=16)
+    p.add_argument("--clip_qs", action="store_true")
+    p.add_argument("--ram", type=float, default=1.0, help="unused on TPU")
+    p.add_argument("--test_set_metrics", action="store_true")
+    p.add_argument("--GECO", action="store_true")
+    p.add_argument("--alpha", type=float, default=0.99)
+    p.add_argument("--kappa_squared", type=float, default=0.020)
+    p.add_argument("--object_kernel_normalize", action="store_true")
+    p.add_argument("--save_latents", action="store_true")
+    p.add_argument("--jitter", type=float, default=1e-6)
+    p.add_argument("--PCA", action="store_true")
+    p.add_argument("--bias_analysis", action="store_true")
+    p.add_argument("--M", type=int, default=8)
+    p.add_argument("--N_t", type=int, default=None)
+    # runtime extensions
+    p.add_argument("--eval_every", type=int, default=10,
+                   help="epochs between eval/test/cgen passes")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# data bootstrap
+# ---------------------------------------------------------------------------
+
+
+def ensure_dataset(args) -> None:
+    """Generate pickles from the shipped eval data when absent."""
+    suffix = "" if args.M == 8 else f"_{args.M}"
+    train_p = os.path.join(args.mnist_data_path,
+                           f"train_data{args.dataset}{suffix}.p")
+    if os.path.exists(train_p):
+        return
+    assert os.path.exists(REF_EVAL_PICKLE), \
+        "no dataset pickles and no shipped eval pickle to derive from"
+    print(f"dataset not found at {train_p}; deriving base images from the "
+          "shipped eval pickle and generating the rotated-MNIST pickles")
+    n_digits = len(args.dataset)
+    base = data.derive_base_images_from_eval(REF_EVAL_PICKLE,
+                                             n_target=400 * n_digits,
+                                             seed=args.seed)
+    data.generate_rotated_mnist(base, args.mnist_data_path,
+                                digits=args.dataset,
+                                latent_dim_object_vector=args.M,
+                                seed=args.seed)
+
+
+def load_ov_init(args):
+    suffix = "" if args.M == 8 else f"_{args.M}"
+    path = os.path.join(args.mnist_data_path,
+                        f"pca_ov_init{args.dataset}{suffix}.p")
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def object_vectors_init(args):
+    """PCA embeddings or random init (reference: MNIST_experiment.py:99-108)."""
+    if not args.ov_joint:
+        return None
+    if args.PCA:
+        return load_ov_init(args)
+    n = len(args.dataset) * 400
+    return np.random.RandomState(args.seed).normal(
+        0, 1.5, n * args.M).reshape(n, args.M)
+
+
+# ---------------------------------------------------------------------------
+# SVGPVAE / VAE / CVAE
+# ---------------------------------------------------------------------------
+
+
+def run_svgpvae(args) -> dict:
+    n = len(args.dataset)
+    N_train, N_eval, N_test = n * 4050, n * 640, n * 270
+
+    ensure_dataset(args)
+    train_d, eval_d, test_d = data.load_rotated_mnist(
+        args.mnist_data_path, digits=args.dataset, M=args.M, N_t=args.N_t)
+    assert len(train_d["images"]) == N_train, \
+        (len(train_d["images"]), N_train)
+
+    run_dir = None
+    if args.save:
+        run_dir = utils.make_checkpoint_folder(
+            args.base_dir, args.expid, f"{args.elbo}_{args.beta}")
+        utils.dump_args(run_dir, args)
+        print(f"checkpoint dir: {run_dir}")
+
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+
+    is_svgpvae = "SVGPVAE" in args.elbo
+    is_cvae = args.elbo == "CVAE"
+
+    if is_cvae:
+        vae = nets.MnistCVAE(L=args.L)
+        dummy = jnp.zeros((2, 28, 28, 3))
+        vae_params = vae.init(init_key, dummy, jnp.zeros(2))
+    else:
+        vae = nets.MnistVAE(L=args.L)
+        vae_params = vae.init(init_key, jnp.zeros((2, 28, 28, 1)))
+    params = {"vae": vae_params}
+
+    if is_svgpvae:
+        ip_init = data.generate_init_inducing_points(
+            train_d, n=args.nr_inducing_points, use_pca=args.PCA, M=args.M,
+            seed=args.seed)
+        cfg = SVGPConfig(titsias="Titsias" in args.elbo, jitter=args.jitter,
+                         N_train=N_train,
+                         K_obj_normalize=args.object_kernel_normalize)
+        params["gp"] = gpm.init_mnist_svgp(ip_init, object_vectors_init(args),
+                                           config=cfg)
+
+    def trainable(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if "inducing_points" in name:
+            return args.ip_joint
+        if "length_scale" in name or "amplitude" in name:
+            return args.GP_joint
+        if "object_vectors" in name:
+            return args.ov_joint
+        return True
+
+    mask = train.trainable_mask(params, trainable) if is_svgpvae else None
+    tx = train.make_optimizer(args.lr, mask=mask)
+    state = train.TrainState.create(params, tx, key)
+
+    kappa = float(np.sqrt(args.kappa_squared))
+
+    def loss_svgpvae(params, batch, key, geco, step):
+        alpha = train.geco_effective_alpha(step, args.alpha)
+        out = models.forward_pass_svgpvae(
+            vae, params["vae"], params["gp"], batch, key, beta=args.beta,
+            C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
+            kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO,
+            bias_analysis=args.bias_analysis)
+        new_geco = train.GECOState(C_ma=out.C_ma,
+                                   lagrange_mult=out.lagrange_mult)
+        loss = out.elbo if args.GECO else -out.elbo
+        metrics = {"elbo": out.elbo, "recon": out.recon_loss,
+                   "kl": out.kl_term, "inside_elbo": out.inside_elbo,
+                   "ce": out.ce_term, "C_ma": out.C_ma,
+                   "lagrange": out.lagrange_mult,
+                   "mean_vectors": out.mean_vectors}
+        return loss, (new_geco, metrics)
+
+    def loss_vae(params, batch, key, geco, step):
+        out = models.forward_pass_vae(vae, params["vae"], batch, key,
+                                      clip_qs=args.clip_qs, cvae=is_cvae)
+        metrics = {"elbo": out.elbo, "recon": out.recon_loss,
+                   "kl": out.kl_term}
+        return -out.elbo, (geco, metrics)
+
+    step_svgpvae = train.make_train_step(loss_svgpvae, tx, donate=False) \
+        if is_svgpvae else None
+    step_vae = train.make_train_step(loss_vae, tx, donate=False)
+
+    @jax.jit
+    def eval_recon_svgpvae(params, batch, key, geco):
+        out = models.forward_pass_svgpvae(
+            vae, params["vae"], params["gp"], batch, key, beta=args.beta,
+            C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult,
+            alpha=args.alpha, kappa=kappa, clip_qs=args.clip_qs,
+            geco=args.GECO)
+        return out
+
+    @jax.jit
+    def eval_recon_vae(params, batch, key):
+        return models.forward_pass_vae(vae, params["vae"], batch, key,
+                                       clip_qs=args.clip_qs, cvae=is_cvae)
+
+    @jax.jit
+    def encode_fn(params, images):
+        return models.batching_encode_svgpvae(vae, params["vae"], images,
+                                              clip_qs=args.clip_qs)
+
+    @jax.jit
+    def cgen_fn(params, batch, means, variances, aux_train, key):
+        return models.predict_cgen_mnist(vae, params["vae"], params["gp"],
+                                         batch, means, variances, aux_train,
+                                         key)
+
+    if is_svgpvae:
+        nr_epochs, regime = train.parse_opt_regime(list(args.opt_regime))
+    else:
+        nr_epochs, regime = args.nr_epochs, ["VAE"] * args.nr_epochs
+
+    savers = {}
+    if args.save and run_dir:
+        savers["elbo"] = utils.ResultSaver(
+            os.path.join(run_dir, "res", "ELBO_results.csv"),
+            ["step", "ELBO", "recon_loss", "KL_term", "min_qm", "max_qm",
+             "min_qv", "max_qv", "inside_elbo", "ce_term", "min_pm",
+             "max_pm", "min_pv", "max_pv", "C_ma", "lagrange_mult"],
+            flush_every=1)
+        if is_svgpvae:
+            savers["gp"] = utils.ResultSaver(
+                os.path.join(run_dir, "res", "GP_params.csv"),
+                ["step", "length_scale", "amplitude", "ip_norm", "ov_norm"],
+                flush_every=1)
+
+    aux_train_full = jnp.asarray(train_d["aux_data"], jnp.float32)
+    eval_key = jax.random.PRNGKey(7)
+    cgen_history = []
+    t_start = time.time()
+    steps_done = 0
+    last_metrics = {}
+    recon_images_cgen = None
+
+    for epoch in range(nr_epochs):
+        use_vae_pass = (not is_svgpvae) or regime[epoch] == "VAE"
+        t_epoch = time.time()
+        elbos, losses = [], []
+        mean_vectors_epoch = []
+        for batch_np in data.batch_iterator(train_d, args.batch_size):
+            batch = (jnp.asarray(batch_np[0], jnp.float32),
+                     jnp.asarray(batch_np[1], jnp.float32))
+            if use_vae_pass:
+                state, m = step_vae(state, batch)
+            else:
+                state, m = step_svgpvae(state, batch)
+                if args.bias_analysis:
+                    mean_vectors_epoch.append(np.asarray(m["mean_vectors"]))
+            elbos.append(float(m["elbo"]))
+            losses.append(float(m["recon"]))
+            steps_done += 1
+        last_metrics = m
+
+        if args.bias_analysis and mean_vectors_epoch:
+            full_mv = gpm.mean_vector_bias_analysis(
+                state.params["gp"], aux_train_full,
+                *encode_fn(state.params,
+                           jnp.asarray(train_d["images"], jnp.float32)))
+            avg_batch = np.mean(mean_vectors_epoch, axis=0)
+            bias = float(np.mean(np.abs(avg_batch - np.asarray(full_mv))))
+            print(f"bias for epoch {epoch}: {bias:.6f}")
+
+        if (epoch + 1) % args.eval_every == 0:
+            print(f"epoch {epoch}, regime "
+                  f"{regime[epoch] if is_svgpvae else 'VAE'}, "
+                  f"mean ELBO/batch {np.mean(elbos):.3f}, train MSE "
+                  f"{np.sum(losses) / N_train:.5f}, "
+                  f"epoch time {time.time() - t_epoch:.2f}s")
+
+            # eval-set recon MSE
+            ev_losses = []
+            for batch_np in data.batch_iterator(eval_d, args.batch_size):
+                batch = (jnp.asarray(batch_np[0], jnp.float32),
+                         jnp.asarray(batch_np[1], jnp.float32))
+                if use_vae_pass:
+                    out = eval_recon_vae(state.params, batch, eval_key)
+                else:
+                    out = eval_recon_svgpvae(state.params, batch, eval_key,
+                                             state.geco)
+                ev_losses.append(float(out.recon_loss))
+            print(f"  eval MSE: {np.sum(ev_losses) / N_eval:.5f}")
+
+            # test-set recon MSE + pics
+            te_losses, recon_arr = [], []
+            for batch_np in data.batch_iterator(test_d, args.batch_size):
+                batch = (jnp.asarray(batch_np[0], jnp.float32),
+                         jnp.asarray(batch_np[1], jnp.float32))
+                if use_vae_pass:
+                    out = eval_recon_vae(state.params, batch, eval_key)
+                else:
+                    out = eval_recon_svgpvae(state.params, batch, eval_key,
+                                             state.geco)
+                te_losses.append(float(out.recon_loss))
+                recon_arr.append(np.asarray(out.recon_images))
+            test_mse = np.sum(te_losses) / N_test
+            print(f"  test MSE: {test_mse:.5f}")
+            if run_dir:
+                plots.plot_image_grid(
+                    test_d["images"], np.concatenate(recon_arr),
+                    f"epoch {epoch + 1}. recon MSE test {test_mse:.4f}",
+                    save_path=os.path.join(run_dir, "pics",
+                                           f"{steps_done}.png"))
+
+            # conditional generation
+            if is_svgpvae:
+                means, variances = [], []
+                for batch_np in data.batch_iterator(train_d,
+                                                    args.batch_size):
+                    mu, var = encode_fn(state.params,
+                                        jnp.asarray(batch_np[0],
+                                                    jnp.float32))
+                    means.append(np.asarray(mu))
+                    variances.append(np.asarray(var))
+                means = jnp.asarray(np.concatenate(means))
+                variances = jnp.asarray(np.concatenate(variances))
+
+                cg_losses, cg_images = [], []
+                for batch_np in data.batch_iterator(test_d, args.batch_size):
+                    batch = (jnp.asarray(batch_np[0], jnp.float32),
+                             jnp.asarray(batch_np[1], jnp.float32))
+                    recon, loss = cgen_fn(state.params, batch, means,
+                                          variances, aux_train_full,
+                                          eval_key)
+                    cg_losses.append(float(loss))
+                    cg_images.append(np.asarray(recon))
+                cgen_mse = np.sum(cg_losses) / N_test
+                recon_images_cgen = np.concatenate(cg_images)
+            elif is_cvae:
+                recon, loss = models.predict_cvae(
+                    vae, state.params["vae"],
+                    jnp.asarray(train_d["images"], jnp.float32),
+                    aux_train_full,
+                    jnp.asarray(test_d["images"], jnp.float32),
+                    jnp.asarray(test_d["aux_data"], jnp.float32),
+                    eval_key, n_objects=n * 400)
+                cgen_mse = float(loss)
+                recon_images_cgen = np.asarray(recon)
+            else:
+                cgen_mse = None
+
+            if cgen_mse is not None:
+                cgen_history.append((epoch, cgen_mse))
+                print(f"  cgen test MSE: {cgen_mse:.5f}")
+                if run_dir:
+                    plots.plot_image_grid(
+                        test_d["images"], recon_images_cgen,
+                        f"epoch {epoch + 1}. CGEN MSE {cgen_mse:.4f}",
+                        save_path=os.path.join(run_dir, "pics",
+                                               f"{steps_done}_cgen.png"))
+                    with open(os.path.join(run_dir, "pics",
+                                           "test_metrics.txt"), "a") as f:
+                        f.write(f"{epoch + 1},{round(test_mse, 4)},"
+                                f"{round(cgen_mse, 4)}\n")
+
+            # metric streams
+            if run_dir and not use_vae_pass:
+                out = eval_recon_svgpvae(state.params, batch, eval_key,
+                                         state.geco)
+                savers["elbo"]([steps_done, float(out.elbo),
+                                float(out.recon_loss), float(out.kl_term),
+                                float(out.qnet_mu.min()),
+                                float(out.qnet_mu.max()),
+                                float(out.qnet_var.min()),
+                                float(out.qnet_var.max()),
+                                float(out.inside_elbo), float(out.ce_term),
+                                float(out.p_m.min()), float(out.p_m.max()),
+                                float(out.p_v.min()), float(out.p_v.max()),
+                                float(state.geco.C_ma),
+                                float(state.geco.lagrange_mult)])
+                gp_p = state.params["gp"]
+                savers["gp"]([steps_done, float(gp_p.length_scale),
+                              float(gp_p.amplitude),
+                              float(jnp.linalg.norm(gp_p.inducing_points)),
+                              0.0 if gp_p.object_vectors is None else
+                              float(jnp.linalg.norm(gp_p.object_vectors))])
+
+            if run_dir and args.save_model_weights:
+                utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
+                                      steps_done)
+
+    elapsed = time.time() - t_start
+    print(f"total: {steps_done} steps, {elapsed:.1f}s "
+          f"({steps_done / max(elapsed, 1e-9):.2f} steps/s)")
+
+    result = {"steps_per_sec": steps_done / max(elapsed, 1e-9),
+              "state": state}
+    if cgen_history:
+        best = min(cgen_history, key=lambda x: x[1])
+        print(f"best cgen MSE {best[1]:.5f} at epoch {best[0]}")
+        result["best_cgen_mse"] = best[1]
+    if run_dir and recon_images_cgen is not None:
+        with open(os.path.join(run_dir, "cgen_images.p"), "wb") as f:
+            pickle.dump(recon_images_cgen, f)
+    if run_dir and args.save_latents:
+        mu, var = encode_fn(state.params,
+                            jnp.asarray(train_d["images"], jnp.float32))
+        if is_svgpvae:
+            p_m, p_v, _, _ = gpm.posterior_params(
+                state.params["gp"], aux_train_full, aux_train_full, mu, var)
+        else:
+            p_m, p_v = mu, var
+        z = np.asarray(p_m) + np.asarray(np.sqrt(np.maximum(p_v, 0))) * \
+            np.random.RandomState(0).randn(*p_m.shape)
+        with open(os.path.join(run_dir, "latents_train.p"), "wb") as f:
+            pickle.dump(z, f)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# deep SVIGP
+# ---------------------------------------------------------------------------
+
+
+def run_svigp(args) -> dict:
+    n = len(args.dataset)
+    N_train, N_test = n * 4050, n * 270
+
+    ensure_dataset(args)
+    train_d, eval_d, test_d = data.load_rotated_mnist(
+        args.mnist_data_path, digits=args.dataset, M=args.M,
+        global_index=True)
+
+    run_dir = None
+    if args.save:
+        run_dir = utils.make_checkpoint_folder(
+            args.base_dir, args.expid, f"{args.elbo}_{args.beta}")
+        utils.dump_args(run_dir, args)
+
+    key = jax.random.PRNGKey(args.seed)
+    decoder = nets.SVIGPDecoder(L=args.L)
+    dec_params = decoder.init(key, jnp.zeros((2, args.L)))
+
+    ip_init = data.generate_init_inducing_points(
+        train_d, n=args.nr_inducing_points, use_pca=args.PCA, M=args.M,
+        seed=args.seed)
+    gp = gpm.init_svigp(ip_init, object_vectors_init(args), L=args.L,
+                        N_train=N_train, jitter=args.jitter,
+                        K_obj_normalize=args.object_kernel_normalize)
+    params = {"dec": dec_params, "gp": gp}
+
+    def trainable(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if "inducing_points" in name:
+            return args.ip_joint
+        if "length_scale" in name or "amplitude" in name:
+            return args.GP_joint
+        if "object_vectors" in name:
+            return args.ov_joint
+        return True
+
+    tx = train.make_optimizer(args.lr,
+                              mask=train.trainable_mask(params, trainable))
+    state = train.TrainState.create(params, tx, key)
+
+    def loss_fn(params, batch, key, geco, step):
+        out = models.forward_pass_deep_svigp(decoder, params["dec"],
+                                             params["gp"], batch)
+        return -out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss})
+
+    step_fn = train.make_train_step(loss_fn, tx, donate=False)
+
+    @jax.jit
+    def predict_fn(params, batch):
+        return models.predict_deep_svigp(decoder, params["dec"],
+                                         params["gp"], batch)
+
+    cgen_history = []
+    steps_done = 0
+    t_start = time.time()
+    recon_images_cgen = None
+    for epoch in range(args.nr_epochs):
+        elbos, losses = [], []
+        for batch_np in data.batch_iterator(train_d, args.batch_size):
+            batch = (jnp.asarray(batch_np[0], jnp.float32),
+                     jnp.asarray(batch_np[1], jnp.float32))
+            state, m = step_fn(state, batch)
+            elbos.append(float(m["elbo"]))
+            losses.append(float(m["recon"]))
+            steps_done += 1
+
+        if (epoch + 1) % args.eval_every == 0:
+            print(f"epoch {epoch}: mean ELBO/batch {np.mean(elbos):.3f}, "
+                  f"train MSE {np.sum(losses) / N_train:.5f}, "
+                  f"noise {float(state.params['gp'].noise):.4f}")
+            cg_losses, cg_images = [], []
+            for batch_np in data.batch_iterator(test_d, args.batch_size):
+                batch = (jnp.asarray(batch_np[0], jnp.float32),
+                         jnp.asarray(batch_np[1], jnp.float32))
+                recon, loss = predict_fn(state.params, batch)
+                cg_losses.append(float(loss))
+                cg_images.append(np.asarray(recon))
+            cgen_mse = np.sum(cg_losses) / N_test
+            recon_images_cgen = np.concatenate(cg_images)
+            cgen_history.append((epoch, cgen_mse))
+            print(f"  cgen test MSE: {cgen_mse:.5f}")
+            if run_dir:
+                plots.plot_image_grid(
+                    test_d["images"], recon_images_cgen,
+                    f"epoch {epoch + 1}. CGEN MSE {cgen_mse:.4f}",
+                    save_path=os.path.join(run_dir, "pics",
+                                           f"{steps_done}_cgen.png"))
+            if run_dir and args.save_model_weights:
+                utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
+                                      steps_done)
+
+    elapsed = time.time() - t_start
+    result = {"steps_per_sec": steps_done / max(elapsed, 1e-9),
+              "state": state}
+    if cgen_history:
+        best = min(cgen_history, key=lambda x: x[1])
+        print(f"best cgen MSE {best[1]:.5f} at epoch {best[0]}")
+        result["best_cgen_mse"] = best[1]
+    if run_dir and recon_images_cgen is not None:
+        with open(os.path.join(run_dir, "cgen_images.p"), "wb") as f:
+            pickle.dump(recon_images_cgen, f)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Casale GPVAE
+# ---------------------------------------------------------------------------
+
+
+def sort_train_data(train_d: dict) -> dict:
+    """Sort by (id, angle) and prepend the global row index (reference:
+    sort_train_data, GPVAE_Casale_model.py:43-66)."""
+    aux = train_d["aux_data"]
+    order = np.lexsort((aux[:, 1], aux[:, 0]))
+    aux_sorted = aux[order]
+    gidx = np.arange(len(aux_sorted), dtype=aux.dtype)[:, None]
+    return {"images": train_d["images"][order],
+            "aux_data": np.hstack([gidx, aux_sorted])}
+
+
+def train_angles_mask(aux_sorted: np.ndarray) -> np.ndarray:
+    """Boolean mask over the (sorted unique id) x (sorted unique angle)
+    grid marking which pairs exist in the train set (reference:
+    train_angles_mask, GPVAE_Casale_model.py:24-40).  aux_sorted columns:
+    [global_idx, id, angle, pca...]."""
+    ids = np.sort(np.unique(aux_sorted[:, 1]))
+    angles = np.sort(np.unique(aux_sorted[:, 2]))
+    present = {(i, a) for i, a in zip(aux_sorted[:, 1], aux_sorted[:, 2])}
+    return np.array([(i, a) in present for i in ids for a in angles])
+
+
+def run_casale(args) -> dict:
+    n = len(args.dataset)
+    N_train, N_test = n * 4050, n * 270
+
+    ensure_dataset(args)
+    train_d, _, test_d = data.load_rotated_mnist(
+        args.mnist_data_path, digits=args.dataset, M=args.M)
+    train_d = sort_train_data(train_d)
+    mask = train_angles_mask(train_d["aux_data"])
+    unique_angles = np.sort(np.unique(train_d["aux_data"][:, 2]))
+    object_ids = np.sort(np.unique(train_d["aux_data"][:, 1])).astype(int)
+
+    run_dir = None
+    if args.save:
+        run_dir = utils.make_checkpoint_folder(
+            args.base_dir, args.expid, f"{args.elbo}_{args.beta}")
+        utils.dump_args(run_dir, args)
+
+    key = jax.random.PRNGKey(args.seed)
+    vae = nets.MnistVAE(L=args.L)
+    vae_params = vae.init(key, jnp.zeros((2, 28, 28, 1)))
+
+    if args.PCA:
+        ov_init = load_ov_init(args)
+    else:
+        assert args.ov_joint, \
+            "without --ov_joint, PCA initialization is required"
+        ov_init = np.random.RandomState(args.seed).normal(
+            0, 1.5, n * 400 * args.M).reshape(n * 400, args.M)
+    gp = gpm.init_casale_gp(ov_init,
+                            object_kernel_normalize=args.object_kernel_normalize,
+                            ov_joint=args.ov_joint, jitter=args.jitter)
+    params = {"vae": vae_params, "gp": gp}
+
+    full_images = jnp.asarray(train_d["images"], jnp.float32)
+    full_aux = jnp.asarray(train_d["aux_data"], jnp.float32)
+    mask_j = jnp.asarray(gpm.mask_to_indices(mask))
+    angles_j = jnp.asarray(unique_angles, jnp.float32)
+    oid_j = jnp.asarray(object_ids)
+
+    def gp_quantities(params, key):
+        Z = models.encode_full_casale(vae, params["vae"], full_images, key,
+                                      clip_qs=args.clip_qs)
+        V = gpm.v_matrix(params["gp"], angles_j, oid_j, mask_j)
+        a, B, c = gpm.taylor_coeffs(params["gp"], Z, V)
+        return Z, V, a, B, c
+
+    def loss_casale(params, batch, key, geco, step):
+        k1, k2 = jax.random.split(key)
+        _, V, a, B, c = gp_quantities(params, k1)
+        out = models.forward_pass_casale(vae, params["vae"], params["gp"],
+                                         batch, k2, a, B, c, V, args.beta,
+                                         clip_qs=args.clip_qs)
+        return out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss,
+                                 "gp_prior": out.gp_prior_term})
+
+    def loss_vae(params, batch, key, geco, step):
+        images, aux = batch
+        out = models.forward_pass_vae(vae, params["vae"],
+                                      (images, aux[:, 1:]), key)
+        return -out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss,
+                                  "gp_prior": jnp.zeros(())})
+
+    gp_mask = train.trainable_mask(
+        params, lambda p, l: jax.tree_util.keystr(p).startswith("['gp']"))
+    vae_mask = train.trainable_mask(
+        params, lambda p, l: jax.tree_util.keystr(p).startswith("['vae']"))
+
+    # three regime optimizers (reference: MNIST_experiment.py:884-906 — one
+    # Adam with per-regime var lists and lrs; here: per-regime Adam chains)
+    txs = {"joint": train.make_optimizer(0.001),
+           "GP": train.make_optimizer(0.01, mask=gp_mask),
+           "VAE": train.make_optimizer(0.001, mask=vae_mask)}
+    steps = {"joint": train.make_train_step(loss_casale, txs["joint"],
+                                            donate=False),
+             "GP": train.make_train_step(loss_casale, txs["GP"],
+                                         donate=False),
+             "VAE": train.make_train_step(loss_vae, txs["VAE"],
+                                          donate=False)}
+    states = {r: train.TrainState.create(params, txs[r],
+                                         jax.random.fold_in(key, i))
+              for i, r in enumerate(("joint", "GP", "VAE"))}
+
+    @jax.jit
+    def cgen_fn(params, key):
+        k1, k2 = jax.random.split(key)
+        Z, V, *_ = gp_quantities(params, k1)
+        return models.predict_cgen_casale(
+            vae, params["vae"], params["gp"],
+            jnp.asarray(test_d["images"], jnp.float32),
+            jnp.asarray(test_d["aux_data"], jnp.float32),
+            full_aux, V, Z, k2)
+
+    nr_epochs, regime = train.parse_opt_regime(list(args.opt_regime))
+    cgen_history = []
+    steps_done = 0
+    t_start = time.time()
+    current_params = params
+    for epoch in range(nr_epochs):
+        r = regime[epoch]
+        state = states[r].replace(params=current_params)
+        elbos, losses = [], []
+        for batch_np in data.batch_iterator(train_d, args.batch_size):
+            batch = (jnp.asarray(batch_np[0], jnp.float32),
+                     jnp.asarray(batch_np[1], jnp.float32))
+            state, m = steps[r](state, batch)
+            elbos.append(float(m["elbo"]))
+            losses.append(float(m["recon"]))
+            steps_done += 1
+        states[r] = state
+        current_params = state.params
+
+        if (epoch + 1) % 5 == 0:
+            print(f"epoch {epoch} ({r}): mean ELBO/batch "
+                  f"{np.mean(elbos):.3f}, train MSE "
+                  f"{np.sum(losses) / N_train:.5f}")
+            recon, cgen_loss = cgen_fn(current_params,
+                                       jax.random.fold_in(key, epoch))
+            cgen_history.append((epoch, float(cgen_loss)))
+            print(f"  cgen test MSE: {float(cgen_loss):.5f}")
+            if run_dir:
+                plots.plot_image_grid(
+                    test_d["images"], np.asarray(recon),
+                    f"epoch {epoch + 1}. CGEN MSE {float(cgen_loss):.4f}",
+                    save_path=os.path.join(run_dir, "pics",
+                                           f"{steps_done}_cgen.png"))
+            if run_dir and args.save_model_weights:
+                utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
+                                      steps_done)
+
+    elapsed = time.time() - t_start
+    result = {"steps_per_sec": steps_done / max(elapsed, 1e-9)}
+    if cgen_history:
+        best = min(cgen_history, key=lambda x: x[1])
+        print(f"best cgen MSE {best[1]:.5f} at epoch {best[0]}")
+        result["best_cgen_mse"] = best[1]
+    return result
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.elbo == "GPVAE_Casale":
+        return run_casale(args)
+    if args.elbo == "SVIGP_Hensman":
+        return run_svigp(args)
+    return run_svgpvae(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from svgpvae_tpu.gp.casale import (  # noqa: F401
     init_casale_gp,
     kron,
     casale_kernel_matrix,
+    mask_to_indices,
     v_matrix,
     taylor_coeffs,
     casale_k_inv,

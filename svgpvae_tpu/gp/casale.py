@@ -91,6 +91,12 @@ def casale_kernel_matrix(gp: CasaleGP, x: Array, y: Array,
     return k_view * k_obj
 
 
+def mask_to_indices(train_ids_mask) -> "np.ndarray":
+    """Host-side: boolean row mask -> integer gather indices (static)."""
+    import numpy as np
+    return np.nonzero(np.asarray(train_ids_mask))[0]
+
+
 def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
              train_ids_mask: Array) -> Array:
     """Low-rank factor V with K ~= V V^T + alpha I.
@@ -100,8 +106,10 @@ def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
     train set (reference: casaleGP.V_matrix, GPVAE_Casale_model.py:278-309).
 
     unique_angles: (Q,) sorted unique train angles; object_ids: (P,) sorted
-    unique object ids; train_ids_mask: (P*Q,) boolean row mask.  Returns
-    V (N, H) with H = P_M * Q (object-vector dim x angles).
+    unique object ids; train_ids_mask: (P*Q,) boolean row mask OR the
+    precomputed integer indices from `mask_to_indices` (required under jit —
+    boolean masking has a data-dependent shape).  Returns V (N, H) with
+    H = M * Q (object-vector dim x angles).
     """
     ov = jnp.take(gp.object_vectors, object_ids.astype(jnp.int32), axis=0)
     if gp.object_kernel_normalize:
@@ -113,9 +121,12 @@ def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
     L_w = linalg.safe_cholesky(K_w, gp.jitter)
 
     V_tilde = kron(ov, L_w)  # (P*Q, M*Q)
-    # static boolean subsampling: mask is a host-side constant of the sorted
-    # train layout, so rows can be gathered with a precomputed index set.
-    idx = jnp.nonzero(train_ids_mask, size=int(train_ids_mask.sum()))[0]
+    # the mask is a host-side constant of the sorted train layout, so rows
+    # are gathered with a static index set (jit-safe)
+    if train_ids_mask.dtype == jnp.bool_:
+        idx = jnp.asarray(mask_to_indices(train_ids_mask))
+    else:
+        idx = train_ids_mask
     return jnp.take(V_tilde, idx, axis=0)
 
 
