@@ -1,0 +1,377 @@
+"""SPRITES experiment driver.
+
+CLI-compatible rebuild of the reference driver (SPRITES_experiment.py):
+SVGPVAE (Hensman/Titsias) or plain VAE on 64x64x3 sprite frames, with an
+optional representation-network pretraining phase (1000-way character
+classifier), GECO training, per-5-epoch test_character reconstruction and
+conditional generation from precomputed full-train GP posterior terms.
+
+The raw SPRITES corpus (external repo) is not shipped here; pass
+--synthetic to generate a structurally-identical synthetic corpus
+(data.generate_synthetic_sprites) scaled by --synthetic_chars, or point
+--sprites_data_path at shards produced by data.save_sprites_shards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svgpvae_tpu import data, models, train, utils
+from svgpvae_tpu import gp as gpm
+from svgpvae_tpu import nn as nets
+from svgpvae_tpu.gp.svgp import SVGPConfig
+from svgpvae_tpu.utils import plots
+
+N_ACTIONS = 72
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SPRITES SVGPVAE experiment")
+    p.add_argument("--expid", type=str, default="debug_SPRITES")
+    p.add_argument("--base_dir", type=str, default=os.getcwd())
+    p.add_argument("--elbo", type=str, default="VAE",
+                   choices=["VAE", "SVGPVAE_Hensman", "SVGPVAE_Titsias"])
+    p.add_argument("--sprites_data_path", type=str, default="SPRITES_data/")
+    p.add_argument("--batch_size", type=int, default=500)
+    p.add_argument("--nr_epochs", type=int, default=50)
+    p.add_argument("--beta", type=float, default=0.001)
+    p.add_argument("--m", type=int, default=1,
+                   help="character vectors per action for inducing points")
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--ip_joint", action="store_true")
+    p.add_argument("--GPLVM_joint", action="store_true")
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--save_model_weights", action="store_true")
+    p.add_argument("--show_pics", action="store_true")
+    p.add_argument("--beta_schedule_switch", type=int, default=100)
+    p.add_argument("--opt_regime", type=str, default=["joint-50"], nargs="+")
+    p.add_argument("--L", type=int, default=64)
+    p.add_argument("--L_action", type=int, default=8)
+    p.add_argument("--L_character", type=int, default=16)
+    p.add_argument("--clip_qs", action="store_true")
+    p.add_argument("--ram", type=float, default=1.0)
+    p.add_argument("--GECO", action="store_true")
+    p.add_argument("--alpha", type=float, default=0.99)
+    p.add_argument("--kappa_squared", type=float, default=0.0075)
+    p.add_argument("--jitter", type=float, default=0.01)
+    p.add_argument("--PCA", action="store_true")
+    p.add_argument("--N_context", type=int, default=36)
+    p.add_argument("--test_set_metrics", action="store_true")
+    p.add_argument("--clip_grad", action="store_true")
+    p.add_argument("--repr_nn_pretrain", type=str, default="yes_joint",
+                   choices=["no", "yes_fixed", "yes_joint"])
+    p.add_argument("--lr_repr_nn", type=float, default=0.01)
+    p.add_argument("--nr_epochs_repr_nn", type=int, default=400)
+    p.add_argument("--batch_size_repr_nn", type=int, default=5000)
+    p.add_argument("--object_kernel_normalize", action="store_true")
+    p.add_argument("--K_SE", action="store_true")
+    p.add_argument("--GP_joint", action="store_true")
+    p.add_argument("--clip_grad_thres", type=float, default=1e6)
+    # runtime extensions
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic stand-in corpus if needed")
+    p.add_argument("--synthetic_chars", type=int, default=12)
+    p.add_argument("--eval_every", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def ensure_dataset(args) -> None:
+    if os.path.isdir(os.path.join(args.sprites_data_path, "train")):
+        return
+    assert args.synthetic, (
+        "no SPRITES shards found; provide preprocessed data "
+        "(data.save_sprites_shards) or pass --synthetic")
+    print("generating synthetic SPRITES corpus "
+          f"({args.synthetic_chars} train characters)")
+    splits = data.generate_synthetic_sprites(
+        n_train_chars=args.synthetic_chars,
+        n_test_chars=max(2, args.synthetic_chars // 4),
+        n_frames_train=50, seed=args.seed)
+    data.save_sprites_shards(splits, args.sprites_data_path)
+
+
+def run_experiment(args) -> dict:
+    assert args.object_kernel_normalize + args.K_SE <= 1, \
+        "at most one GP kernel engineering flag at once"
+    fpc_train = 50  # train frames per character (SPRITES_experiment.py:37)
+
+    ensure_dataset(args)
+    splits = data.load_sprites(args.sprites_data_path)
+    train_d, test_char_d = splits["train"], splits["test_character"]
+    N_train = len(train_d["frames"])
+    N_test = len(test_char_d["frames"])
+    n_chars = N_train // fpc_train
+    assert args.batch_size % fpc_train == 0, \
+        f"batch size must be divisible by {fpc_train}"
+    batch_size = min(args.batch_size, N_train)
+    # test_character batches: multiple of 72 frames (reference uses 576)
+    batch_test_char = min(576, N_test - (N_test % N_ACTIONS) or N_ACTIONS)
+    while N_test % batch_test_char:
+        batch_test_char -= N_ACTIONS
+
+    run_dir = None
+    if args.save:
+        run_dir = utils.make_checkpoint_folder(
+            args.base_dir, args.expid, f"{args.elbo}_{args.beta}")
+        utils.dump_args(run_dir, args)
+        print(f"checkpoint dir: {run_dir}")
+
+    key = jax.random.PRNGKey(args.seed)
+    is_svgpvae = "SVGPVAE" in args.elbo
+
+    vae = nets.SpritesVAE(L=args.L)
+    dummy = jnp.zeros((2, 64, 64, 3))
+    vae_params = vae.init(key, dummy)
+    params = {"vae": vae_params}
+
+    repr_net = nets.SpritesReprNet(L=args.L_character)
+    if is_svgpvae:
+        params["repr"] = repr_net.init(key, dummy)
+        if args.PCA:
+            with open(os.path.join(args.sprites_data_path,
+                                   "sprites_train_dict.p"), "rb") as f:
+                train_dict = pickle.load(f)
+            gplvm_init, ip_init = data.sprites_pca_init(
+                train_dict, m=args.m, L_action=args.L_action,
+                L_character=args.L_character)
+        else:
+            rng = np.random.RandomState(args.seed)
+            gplvm_init = rng.normal(0, 1.5, (N_ACTIONS, args.L_action))
+            ip_init = rng.normal(
+                0, 1.5, (N_ACTIONS * args.m,
+                         args.L_action + args.L_character))
+        cfg = SVGPConfig(titsias="Titsias" in args.elbo, jitter=args.jitter,
+                         N_train=N_train,
+                         K_obj_normalize=args.object_kernel_normalize)
+        params["gp"] = gpm.init_sprites_svgp(
+            ip_init, gplvm_init, L_action=args.L_action,
+            use_se_kernel=args.K_SE, config=cfg)
+
+    # ---------------- representation-network pretraining ----------------
+    if is_svgpvae and "yes" in args.repr_nn_pretrain:
+        head = nets.ClassificationHead(num_classes=n_chars)
+        head_params = head.init(key, jnp.zeros((2, args.L_character)))
+        pre_params = {"repr": params["repr"], "head": head_params}
+        pre_tx = train.make_optimizer(args.lr_repr_nn)
+
+        def pretrain_loss(p, batch, key, geco, step):
+            frames, char_ids = batch
+            emb = repr_net.apply(p["repr"], frames)
+            logits = head.apply(p["head"], emb)
+            labels = char_ids.astype(jnp.int32)
+            loss = jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(len(labels)), labels])
+            acc = jnp.mean(jnp.argmax(logits, 1) == labels)
+            return loss, (geco, {"acc": acc})
+
+        pre_step = train.make_train_step(pretrain_loss, pre_tx, donate=False)
+        pre_state = train.TrainState.create(pre_params, pre_tx, key)
+        bs_pre = min(args.batch_size_repr_nn, N_train)
+        t0 = time.time()
+        print("pretraining representation net "
+              f"({args.nr_epochs_repr_nn} epochs, batch {bs_pre})")
+        for epoch in range(args.nr_epochs_repr_nn):
+            losses, accs = [], []
+            for frames, aux in data.sprites_batch_iterator(train_d, bs_pre):
+                batch = (jnp.asarray(frames), jnp.asarray(aux[:, 0]))
+                pre_state, m = pre_step(pre_state, batch)
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
+            if epoch % 10 == 0:
+                print(f"  pretrain epoch {epoch}: loss "
+                      f"{np.mean(losses):.4f} acc {np.mean(accs):.3f}")
+        print(f"pretraining done in {time.time() - t0:.1f}s")
+        params["repr"] = pre_state.params["repr"]
+
+    # ---------------- main training ----------------
+    def trainable(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if name.startswith("['repr']"):
+            return args.repr_nn_pretrain != "yes_fixed"
+        if "inducing_points" in name:
+            return args.ip_joint
+        if "gplvm_action" in name:
+            return args.GPLVM_joint
+        if ("l_action" in name or "sigma_action" in name
+                or "l_character" in name or "sigma_character" in name):
+            return args.GP_joint and args.K_SE
+        return True
+
+    mask = train.trainable_mask(params, trainable) if is_svgpvae else None
+    tx = train.make_optimizer(
+        args.lr, mask=mask,
+        clip_grad_value=args.clip_grad_thres if args.clip_grad else None)
+    state = train.TrainState.create(params, tx, key)
+
+    kappa = float(np.sqrt(args.kappa_squared))
+
+    def svgpvae_outputs(params, batch, key, geco, alpha, fpc: int):
+        return models.forward_pass_svgpvae(
+            vae, params["vae"], params["gp"], batch, key, beta=args.beta,
+            C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
+            kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO,
+            repr_apply=repr_net.apply, repr_params=params["repr"],
+            frames_per_char=fpc)
+
+    def loss_fn(params, batch, key, geco, step):
+        if is_svgpvae:
+            alpha = train.geco_effective_alpha(step, args.alpha)
+            out = svgpvae_outputs(params, batch, key, geco, alpha, fpc_train)
+            new_geco = train.GECOState(C_ma=out.C_ma,
+                                       lagrange_mult=out.lagrange_mult)
+            loss = out.elbo if args.GECO else -out.elbo
+            return loss, (new_geco, {"elbo": out.elbo,
+                                     "recon": out.recon_loss})
+        out = models.forward_pass_vae(vae, params["vae"], batch, key,
+                                      clip_qs=args.clip_qs)
+        return -out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss})
+
+    step_fn = train.make_train_step(loss_fn, tx, donate=False)
+
+    @jax.jit
+    def test_recon_fn(params, batch, key, geco):
+        if is_svgpvae:
+            out = svgpvae_outputs(params, batch, key, geco, args.alpha,
+                                  N_ACTIONS)
+            return out.recon_loss, out.recon_images
+        out = models.forward_pass_vae(vae, params["vae"], batch, key,
+                                      clip_qs=args.clip_qs)
+        return out.recon_loss, out.recon_images
+
+    @jax.jit
+    def encode_fn(params, frames, action_ids):
+        mu, var = models.batching_encode_svgpvae(vae, params["vae"], frames,
+                                                 clip_qs=args.clip_qs)
+        aux = models.sprites_aux_data(repr_net.apply, params["repr"], frames,
+                                      action_ids, fpc_train)
+        return mu, var, aux
+
+    @jax.jit
+    def precompute_fn(params, means, variances, aux):
+        return models.precompute_gp_params(params["gp"], means, variances,
+                                           aux)
+
+    @jax.jit
+    def cgen_fn(params, frames, action_ids, mean_terms, sigma_inv, kmm_inv,
+                key):
+        return models.predict_cgen_sprites(
+            vae, params["vae"], params["gp"], repr_net.apply,
+            params["repr"], frames, action_ids, mean_terms, sigma_inv,
+            kmm_inv, n_context=args.N_context, n_actions_total=N_ACTIONS,
+            key=key)
+
+    nr_epochs, regime = (train.parse_opt_regime(list(args.opt_regime))
+                         if is_svgpvae else (args.nr_epochs, None))
+
+    eval_key = jax.random.PRNGKey(11)
+    cgen_history = []
+    steps_done = 0
+    t_start = time.time()
+    for epoch in range(nr_epochs):
+        t_epoch = time.time()
+        elbos, losses = [], []
+        for frames, aux in data.sprites_batch_iterator(train_d, batch_size):
+            batch = (jnp.asarray(frames), jnp.asarray(aux[:, 0]))
+            state, m = step_fn(state, batch)
+            elbos.append(float(m["elbo"]))
+            losses.append(float(m["recon"]))
+            steps_done += 1
+        print(f"epoch {epoch}: mean ELBO/batch {np.mean(elbos):.3f}, "
+              f"train MSE {np.sum(losses) / N_train:.5f}, "
+              f"{time.time() - t_epoch:.2f}s")
+
+        if (epoch + 1) % args.eval_every == 0:
+            # test_character reconstruction
+            te_losses = []
+            recon_imgs = frames_last = None
+            for frames, aux in data.sprites_batch_iterator(test_char_d,
+                                                           batch_test_char):
+                batch = (jnp.asarray(frames), jnp.asarray(aux[:, 0]))
+                loss, recon_imgs = test_recon_fn(state.params, batch,
+                                                 eval_key, state.geco)
+                te_losses.append(float(loss))
+                frames_last = frames
+            test_mse = np.sum(te_losses) / N_test
+            print(f"  test recon MSE: {test_mse:.5f}")
+            if run_dir:
+                plots.plot_image_grid(
+                    frames_last, np.asarray(recon_imgs),
+                    f"epoch {epoch + 1}. recon MSE {test_mse:.4f}",
+                    save_path=os.path.join(run_dir, "pics",
+                                           f"{steps_done}_recon.png"))
+
+            # conditional generation for unseen characters
+            if is_svgpvae:
+                means, variances, auxs = [], [], []
+                for frames, aux in data.sprites_batch_iterator(train_d,
+                                                               batch_size):
+                    mu, var, aux_j = encode_fn(state.params,
+                                               jnp.asarray(frames),
+                                               jnp.asarray(aux[:, 0]))
+                    means.append(np.asarray(mu))
+                    variances.append(np.asarray(var))
+                    auxs.append(np.asarray(aux_j))
+                mean_terms, sigma_inv, kmm_inv = precompute_fn(
+                    state.params, jnp.asarray(np.concatenate(means)),
+                    jnp.asarray(np.concatenate(variances)),
+                    jnp.asarray(np.concatenate(auxs)))
+
+                cg_losses = []
+                pics = tgts = None
+                for frames, aux in data.sprites_batch_iterator(
+                        test_char_d, batch_test_char):
+                    pics, tgts, loss = cgen_fn(
+                        state.params, jnp.asarray(frames),
+                        jnp.asarray(aux[:, 1]), mean_terms, sigma_inv,
+                        kmm_inv, eval_key)
+                    cg_losses.append(float(loss))
+                cgen_mse = np.sum(cg_losses) / (
+                    N_test * (1 - args.N_context / N_ACTIONS))
+                cgen_history.append((epoch, cgen_mse))
+                print(f"  cgen test MSE: {cgen_mse:.5f}")
+
+                best = min(cgen_history, key=lambda x: x[1])[1]
+                if run_dir and cgen_mse <= best:
+                    with open(os.path.join(run_dir, "cgen_images.p"),
+                              "wb") as f:
+                        pickle.dump(np.asarray(pics), f)
+                    with open(os.path.join(run_dir,
+                                           "cgen_images_target.p"),
+                              "wb") as f:
+                        pickle.dump(np.asarray(tgts), f)
+                if run_dir:
+                    plots.plot_image_grid(
+                        np.asarray(tgts), np.asarray(pics),
+                        f"epoch {epoch + 1}. CGEN MSE {cgen_mse:.4f}",
+                        save_path=os.path.join(run_dir, "pics",
+                                               f"{steps_done}_cgen.png"))
+                    with open(os.path.join(run_dir, "pics",
+                                           "test_metrics.txt"), "a") as f:
+                        f.write(f"{epoch + 1},{round(test_mse, 4)},"
+                                f"{round(cgen_mse, 4)}\n")
+
+            if run_dir and args.save_model_weights:
+                utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
+                                      steps_done)
+
+    elapsed = time.time() - t_start
+    print(f"total: {steps_done} steps in {elapsed:.1f}s "
+          f"({steps_done / max(elapsed, 1e-9):.2f} steps/s)")
+    result = {"steps_per_sec": steps_done / max(elapsed, 1e-9)}
+    if cgen_history:
+        best = min(cgen_history, key=lambda x: x[1])
+        print(f"best cgen MSE {best[1]:.5f} at epoch {best[0]}")
+        result["best_cgen_mse"] = best[1]
+    return result
+
+
+if __name__ == "__main__":
+    run_experiment(build_parser().parse_args())
