@@ -3,6 +3,8 @@ from svgpvae_tpu.train.geco import geco_effective_alpha  # noqa: F401
 from svgpvae_tpu.train.trainer import (  # noqa: F401
     make_optimizer,
     make_train_step,
+    make_epoch_fn,
+    stack_batches,
     parse_opt_regime,
     trainable_mask,
 )

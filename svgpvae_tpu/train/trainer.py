@@ -106,3 +106,48 @@ def make_train_step(loss_fn, tx, donate: bool = True):
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_epoch_fn(loss_fn, tx, donate: bool = True):
+    """Build a jitted WHOLE-EPOCH runner: `lax.scan` over a device-resident
+    pre-batched dataset.
+
+    TPU-first replacement for the reference's per-batch sess.run loop
+    (MNIST_experiment.py:327-356): the datasets here are small enough to
+    live in HBM (rotated MNIST: ~12 MB), so an epoch is one XLA program —
+    no per-step host dispatch, no host<->device transfers.  `batches` is a
+    pytree whose leaves are stacked along a leading n_batches axis.
+
+    Returns (state, metrics) with metrics stacked per step.
+    """
+
+    def step_fn(state: TrainState, batch):
+        key, subkey = jax.random.split(state.key)
+        (loss, (geco, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, subkey, state.geco,
+                                   state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, geco=geco, key=key)
+        return new_state, dict(metrics, loss=loss)
+
+    def epoch_fn(state: TrainState, batches):
+        return jax.lax.scan(step_fn, state, batches)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(data_dict, batch_size: int):
+    """Host-side: {'images', 'aux_data'} -> leading-axis-stacked batch pytree
+    for `make_epoch_fn` (drops the tail remainder; run it separately with a
+    per-batch step to keep exact epoch semantics)."""
+    import numpy as np
+    n = len(data_dict["images"]) // batch_size
+    images = np.stack([
+        data_dict["images"][i * batch_size:(i + 1) * batch_size]
+        for i in range(n)]).astype(np.float32)
+    aux = np.stack([
+        data_dict["aux_data"][i * batch_size:(i + 1) * batch_size]
+        for i in range(n)]).astype(np.float32)
+    return jnp.asarray(images), jnp.asarray(aux)
