@@ -31,6 +31,7 @@ from flax import struct
 from jax import Array
 
 from svgpvae_tpu import kernels, linalg
+from svgpvae_tpu.ops.gp_stats import gp_stats
 
 
 # ---------------------------------------------------------------------------
@@ -301,11 +302,11 @@ def posterior_params(gp, aux_test: Array, aux_train: Array, y: Array,
                         y_inducing=False)  # (x,)
 
     precision = linalg.reciprocal_no_nan(noise)  # (b, L)
-    Sigma = _sigma_l(Kmm, Knm, precision, scale)  # (L, m, m)
+    # fused sufficient statistics: Sigma contribution (L, m, m) and
+    # r_l = K_mn (prec_l * y_l) (L, m) — Pallas-fused on TPU at scale
+    sigma_contrib, r = gp_stats(Knm, precision, precision * y)
+    Sigma = Kmm[None] + scale * sigma_contrib
     Sigma_chol = linalg.safe_cholesky(Sigma, cfg.jitter)  # (L, m, m)
-
-    # r_l = K_mn (prec_l * y_l)  -> (L, m)
-    r = jnp.einsum("nm,nl->lm", Knm, precision * y)
     sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]  # (L, m)
 
     p_m = scale * jnp.einsum("xm,lm->xl", Kxm, sir)  # (x, L)
@@ -439,12 +440,12 @@ def precompute_test_posterior_terms(gp, means: Array, variances: Array,
     Knm = gp.kmat(aux_train, z, x_inducing=False)  # (N, m)
 
     precision = linalg.reciprocal_no_nan(variances)  # (N, L)
-    Sigma = _sigma_l(Kmm, Knm, precision, 1.0)  # (L, m, m) — NO N/b scaling
+    # fused over the FULL train set — NO N/b scaling here
+    sigma_contrib, r = gp_stats(Knm, precision, precision * means)
+    Sigma = Kmm[None] + sigma_contrib  # (L, m, m)
     Sigma_chol = linalg.safe_cholesky(Sigma, cfg.jitter)
     eye = jnp.broadcast_to(jnp.eye(Kmm.shape[0], dtype=Kmm.dtype), Sigma.shape)
     Sigma_inv = linalg.cho_solve(Sigma_chol, eye)  # (L, m, m)
-
-    r = jnp.einsum("nm,nl->lm", Knm, precision * means)  # (L, m)
     mean_terms = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]  # (L, m)
 
     Kmm_inv = linalg.psd_inverse(Kmm, cfg.jitter)

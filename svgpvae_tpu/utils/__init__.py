@@ -12,3 +12,12 @@ from svgpvae_tpu.utils.checkpoint import (  # noqa: F401
     restore_checkpoint,
     latest_step,
 )
+from svgpvae_tpu.utils.profiling import (  # noqa: F401
+    StepTimer,
+    annotate,
+    trace_if,
+)
+from svgpvae_tpu.utils.misc import (  # noqa: F401
+    dict_to_flags,
+    save_video_frames,
+)
