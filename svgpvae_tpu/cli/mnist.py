@@ -221,6 +221,21 @@ def run_svgpvae(args) -> dict:
         if is_svgpvae else None
     step_vae = train.make_train_step(loss_vae, tx, donate=False)
 
+    # whole-epoch scan over the device-resident full batches; the tail
+    # remainder batch (N_train % batch_size) runs through the per-step fn
+    # so epoch semantics stay exact
+    epoch_svgpvae = train.make_epoch_fn(loss_svgpvae, tx, donate=True) \
+        if is_svgpvae else None
+    epoch_vae = train.make_epoch_fn(loss_vae, tx, donate=True)
+    full_batches = train.stack_batches(train_d, args.batch_size)
+    n_full = full_batches[0].shape[0]
+    tail_n = len(train_d["images"]) - n_full * args.batch_size
+    tail_batch = None
+    if tail_n:
+        tail_batch = (
+            jnp.asarray(train_d["images"][-tail_n:], jnp.float32),
+            jnp.asarray(train_d["aux_data"][-tail_n:], jnp.float32))
+
     @jax.jit
     def eval_recon_svgpvae(params, batch, key, geco):
         out = models.forward_pass_svgpvae(
@@ -270,27 +285,35 @@ def run_svgpvae(args) -> dict:
     cgen_history = []
     t_start = time.time()
     steps_done = 0
-    last_metrics = {}
     recon_images_cgen = None
 
     for epoch in range(nr_epochs):
         use_vae_pass = (not is_svgpvae) or regime[epoch] == "VAE"
         t_epoch = time.time()
-        elbos, losses = [], []
         mean_vectors_epoch = []
-        for batch_np in data.batch_iterator(train_d, args.batch_size):
-            batch = (jnp.asarray(batch_np[0], jnp.float32),
-                     jnp.asarray(batch_np[1], jnp.float32))
-            if use_vae_pass:
-                state, m = step_vae(state, batch)
-            else:
+        if args.bias_analysis and not use_vae_pass:
+            # per-step host loop (bias analysis inspects every batch)
+            elbos, losses = [], []
+            for batch_np in data.batch_iterator(train_d, args.batch_size):
+                batch = (jnp.asarray(batch_np[0], jnp.float32),
+                         jnp.asarray(batch_np[1], jnp.float32))
                 state, m = step_svgpvae(state, batch)
-                if args.bias_analysis:
-                    mean_vectors_epoch.append(np.asarray(m["mean_vectors"]))
-            elbos.append(float(m["elbo"]))
-            losses.append(float(m["recon"]))
-            steps_done += 1
-        last_metrics = m
+                mean_vectors_epoch.append(np.asarray(m["mean_vectors"]))
+                elbos.append(float(m["elbo"]))
+                losses.append(float(m["recon"]))
+                steps_done += 1
+        else:
+            epoch_fn = epoch_vae if use_vae_pass else epoch_svgpvae
+            state, ms = epoch_fn(state, full_batches)
+            elbos = list(np.asarray(ms["elbo"]))
+            losses = list(np.asarray(ms["recon"]))
+            steps_done += n_full
+            if tail_batch is not None:
+                step = step_vae if use_vae_pass else step_svgpvae
+                state, m = step(state, tail_batch)
+                elbos.append(float(m["elbo"]))
+                losses.append(float(m["recon"]))
+                steps_done += 1
 
         if args.bias_analysis and mean_vectors_epoch:
             full_mv = gpm.mean_vector_bias_analysis(
