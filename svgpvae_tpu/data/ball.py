@@ -49,15 +49,23 @@ def _rasterize(traj_px: np.ndarray, px: int, py: int, r: float) -> np.ndarray:
 
 def make_video_batch(tmax: int = 50, px: int = 32, py: int = 32,
                      lt: float = 5.0, batch: int = 40, seed: int = 1,
-                     r: float = 3.0) -> Tuple[np.ndarray, np.ndarray]:
+                     r: float = 3.0, backend: str = "auto"
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample trajectories and rasterize to binary ball videos.
 
     Returns (traj (batch, tmax, 2), vids (batch, tmax, px, py)); reference:
     Make_Video_batch (utils.py:59-121) with the traj*(px/5) + px/2 scaling.
+    backend 'auto' uses the native C++ rasterizer (svgpvae_tpu.native) when
+    built, 'numpy' forces the pure-python path.
     """
     np.random.seed(seed)
     traj0 = make_path_batch(batch=batch, tmax=tmax, lt=lt)
     traj_px = traj0 * (px / 5.0) + 0.5 * px
+    if backend == "auto":
+        from svgpvae_tpu import native
+        vids = native.rasterize_balls(traj_px, px, py, r)
+        if vids is not None:
+            return traj0, vids
     vids = np.stack([_rasterize(tp, px, py, r) for tp in traj_px])
     return traj0, vids
 
