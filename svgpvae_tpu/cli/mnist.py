@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--GECO", action="store_true")
     p.add_argument("--alpha", type=float, default=0.99)
     p.add_argument("--kappa_squared", type=float, default=0.020)
+    p.add_argument("--geco_lambda_max", type=float, default=1e5,
+                   help="cap on the GECO lagrange multiplier (float32 safety)")
     p.add_argument("--object_kernel_normalize", action="store_true")
     p.add_argument("--save_latents", action="store_true")
     p.add_argument("--jitter", type=float, default=1e-6)
@@ -198,7 +200,7 @@ def run_svgpvae(args) -> dict:
         out = models.forward_pass_svgpvae(
             vae, params["vae"], params["gp"], batch, key, beta=args.beta,
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
-            kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO,
+            kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
             bias_analysis=args.bias_analysis)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
@@ -242,7 +244,7 @@ def run_svgpvae(args) -> dict:
             vae, params["vae"], params["gp"], batch, key, beta=args.beta,
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult,
             alpha=args.alpha, kappa=kappa, clip_qs=args.clip_qs,
-            geco=args.GECO)
+            geco=args.GECO, lagrange_max=args.geco_lambda_max)
         return out
 
     @jax.jit

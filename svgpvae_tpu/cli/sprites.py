@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--GECO", action="store_true")
     p.add_argument("--alpha", type=float, default=0.99)
     p.add_argument("--kappa_squared", type=float, default=0.0075)
+    p.add_argument("--geco_lambda_max", type=float, default=1e5,
+                   help="cap on the GECO lagrange multiplier (float32 safety)")
     p.add_argument("--jitter", type=float, default=0.01)
     p.add_argument("--PCA", action="store_true")
     p.add_argument("--N_context", type=int, default=36)
@@ -217,7 +219,7 @@ def run_experiment(args) -> dict:
         return models.forward_pass_svgpvae(
             vae, params["vae"], params["gp"], batch, key, beta=args.beta,
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
-            kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO,
+            kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
             repr_apply=repr_net.apply, repr_params=params["repr"],
             frames_per_char=fpc)
 

@@ -69,7 +69,8 @@ def forward_pass_svgpvae(
         beta, C_ma, lagrange_mult, alpha, kappa,
         clip_qs: bool = True, geco: bool = False,
         repr_apply=None, repr_params=None, frames_per_char: int = 0,
-        bias_analysis: bool = False) -> SVGPVAEOutputs:
+        bias_analysis: bool = False,
+        lagrange_max: float = 1e5) -> SVGPVAEOutputs:
     """Training forward pass (reference: forward_pass_SVGPVAE,
     SVGPVAE_model.py:823-936).
 
@@ -81,9 +82,18 @@ def forward_pass_svgpvae(
       recon = sum_b( mean_px_sq_err - kappa^2 )
       C_ma' = alpha * C_ma + (1 - alpha) * recon / b
       objective = -KL + lambda * (recon/b + stop_grad(C_ma' - recon/b))
-      lambda' = lambda * exp(C_ma')
+      lambda' = min(lambda * exp(C_ma'), lagrange_max)
     The first-step alpha=0 special case is handled by the train loop
     (svgpvae_tpu.train) by passing alpha=0 at step 0.
+
+    `lagrange_max` caps the multiplicative lambda update: the reference
+    runs this path in float64, where lambda can compound to ~e^150 while
+    the constraint is unmet; in float32 that overflows (and its square
+    overflows Adam's second moment much earlier).  Past the cap the
+    objective is reconstruction-dominated — exactly GECO's intended regime
+    while the constraint is violated — and lambda decays below the cap
+    again once MSE < kappa^2.  Set lagrange_max=inf under float64 for
+    bit-parity with the reference.
     """
     images, aux_data = batch
     b = images.shape[0]
@@ -133,7 +143,8 @@ def forward_pass_svgpvae(
         C_ma_new = alpha * C_ma + (1.0 - alpha) * recon_loss / b
         elbo = -kl_term + lagrange_mult * (
             recon_loss / b + jax.lax.stop_gradient(C_ma_new - recon_loss / b))
-        lagrange_new = lagrange_mult * jnp.exp(C_ma_new)
+        lagrange_new = jnp.minimum(lagrange_mult * jnp.exp(C_ma_new),
+                                   lagrange_max)
     else:
         recon_loss = jnp.sum(sq_err) / K
         elbo = -recon_loss + (beta / L) * kl_term
