@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_every", type=int, default=1000)
     p.add_argument("--plot_every", type=int, default=10000)
     p.add_argument("--ckpt_every", type=int, default=50000)
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="existing run dir to resume into (restores the full "
+                        "TrainState from its ckpt/ and keeps appending)")
     return p
 
 
@@ -68,7 +71,10 @@ def run_experiment(args) -> dict:
         "model/data GP length scales must match unless jointly optimized"
 
     run_dir = None
-    if args.save:
+    if args.resume_dir:
+        run_dir = args.resume_dir
+        print(f"resuming into: {run_dir}")
+    elif args.save:
         run_dir = utils.make_checkpoint_folder(
             args.base_dir, args.expid, f"{args.elbo}_{args.beta0}")
         utils.dump_args(run_dir, args)
@@ -152,7 +158,7 @@ def run_experiment(args) -> dict:
         return outputs_fn(params, vids, key, 1.0)
 
     saver = None
-    if args.save:
+    if run_dir:
         cols = ["step", "loss", "elbo", "recon", "prior_kl", "min_qv",
                 "max_qv", "min_pv", "max_pv", "inside_elbo", "ce_term",
                 "MSE", "beta", "time"]

@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     # runtime extensions
     p.add_argument("--eval_every", type=int, default=10,
                    help="epochs between eval/test/cgen passes")
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="existing run dir to resume from (restores the "
+                        "full TrainState from its ckpt/)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -192,6 +195,12 @@ def run_svgpvae(args) -> dict:
     mask = train.trainable_mask(params, trainable) if is_svgpvae else None
     tx = train.make_optimizer(args.lr, mask=mask)
     state = train.TrainState.create(params, tx, key)
+    if args.resume_dir:
+        ckpt = os.path.join(args.resume_dir, "ckpt")
+        if utils.latest_step(ckpt) is not None:
+            state = utils.restore_checkpoint(ckpt, state)
+            print(f"resumed from {ckpt} at step {int(state.step)}")
+        run_dir = args.resume_dir
 
     kappa = float(np.sqrt(args.kappa_squared))
 
