@@ -448,6 +448,24 @@ def run_svgpvae(args) -> dict:
                               float(jnp.linalg.norm(gp_p.inducing_points)),
                               0.0 if gp_p.object_vectors is None else
                               float(jnp.linalg.norm(gp_p.object_vectors))])
+                # kernel-matrix heatmaps on the first train batch
+                # (reference: visualize_kernel_matrices, utils.py:747-796)
+                aux0 = aux_train_full[:args.batch_size]
+                from svgpvae_tpu import kernels as kk
+                view = aux0[:, 1:2]
+                obj = (jnp.take(gp_p.object_vectors,
+                                aux0[:, 0].astype(jnp.int32), axis=0)
+                       if gp_p.object_vectors is not None else aux0[:, 2:])
+                k_view = kk.exp_sin_squared_matrix(
+                    view, view, gp_p.amplitude, gp_p.length_scale,
+                    2.0 * jnp.pi)
+                k_obj = kk.linear_matrix(obj, obj)
+                if args.object_kernel_normalize:
+                    k_obj = kk.cosine_normalize_matrix(k_obj, obj, obj)
+                plots.plot_kernel_matrices(
+                    k_view, k_obj, k_view * k_obj,
+                    save_path=os.path.join(run_dir, "pics",
+                                           f"{steps_done}_kernels.png"))
 
             if run_dir and args.save_model_weights:
                 utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
