@@ -422,6 +422,35 @@ def mean_vector_bias_analysis(gp, aux: Array, y: Array, noise: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _fused_precompute_stats(gp, aux_train, precision, py):
+    """Dispatch to the fully-fused Pallas kernel (ops.fused_kernel_stats)
+    when the GP family supports it and the backend/size make it worthwhile.
+    Returns None to fall back to the gp_stats path."""
+    import jax as _jax
+    n = aux_train.shape[0]
+    m = gp.inducing_points.shape[0]
+    if _jax.default_backend() != "tpu" or n < 4096 or m < 64:
+        return None
+    from svgpvae_tpu.ops.fused_kernel_stats import fused_kernel_stats
+
+    if isinstance(gp, MnistSVGP):
+        view, obj = gp._features(aux_train, inducing=False)
+        ip_view = gp.inducing_points[:, 1:2]
+        ip_obj = gp.inducing_points[:, 2:]
+        return fused_kernel_stats(
+            view, obj, ip_view, ip_obj, precision, py, amp=gp.amplitude,
+            length_scale=gp.length_scale, family="mnist",
+            normalize=gp.config.K_obj_normalize)
+    if isinstance(gp, SpritesSVGP) and not gp.use_se_kernel:
+        act, chr_ = gp._features(aux_train, inducing=False)
+        ip_act = gp.inducing_points[:, :gp.L_action]
+        ip_chr = gp.inducing_points[:, gp.L_action:]
+        return fused_kernel_stats(
+            act, chr_, ip_act, ip_chr, precision, py, family="sprites",
+            normalize=gp.config.K_obj_normalize)
+    return None
+
+
 def precompute_test_posterior_terms(gp, means: Array, variances: Array,
                                     aux_train: Array):
     """Full-train-set posterior precomputation (reference:
@@ -437,11 +466,18 @@ def precompute_test_posterior_terms(gp, means: Array, variances: Array,
     cfg = gp.config
     z = gp.inducing_points
     Kmm = gp.kmat(z, z)
-    Knm = gp.kmat(aux_train, z, x_inducing=False)  # (N, m)
 
     precision = linalg.reciprocal_no_nan(variances)  # (N, L)
-    # fused over the FULL train set — NO N/b scaling here
-    sigma_contrib, r = gp_stats(Knm, precision, precision * means)
+    # fused over the FULL train set — NO N/b scaling here.  On TPU at scale
+    # the fully-fused Pallas path also constructs K_nm in-kernel (this is
+    # test-time precompute: no gradients flow here).
+    fused = _fused_precompute_stats(gp, aux_train, precision,
+                                    precision * means)
+    if fused is not None:
+        sigma_contrib, r = fused
+    else:
+        Knm = gp.kmat(aux_train, z, x_inducing=False)  # (N, m)
+        sigma_contrib, r = gp_stats(Knm, precision, precision * means)
     Sigma = Kmm[None] + sigma_contrib  # (L, m, m)
     Sigma_chol = linalg.safe_cholesky(Sigma, cfg.jitter)
     eye = jnp.broadcast_to(jnp.eye(Kmm.shape[0], dtype=Kmm.dtype), Sigma.shape)

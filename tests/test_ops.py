@@ -60,3 +60,63 @@ def test_gp_stats_custom_vjp_matches_reference_grads():
                   argnums=(0, 1, 2))(Knm, prec, py)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_kernel_stats_mnist_family():
+    from svgpvae_tpu.ops.fused_kernel_stats import fused_kernel_stats
+    from svgpvae_tpu import kernels
+
+    n, m, M, L = 200, 20, 8, 4
+    view = jnp.asarray(RNG.rand(n, 1) * 2 * np.pi, jnp.float32)
+    obj = jnp.asarray(RNG.randn(n, M), jnp.float32)
+    ip_view = jnp.asarray(RNG.rand(m, 1) * 2 * np.pi, jnp.float32)
+    ip_obj = jnp.asarray(RNG.randn(m, M), jnp.float32)
+    prec = jnp.asarray(RNG.rand(n, L) + 0.5, jnp.float32)
+    py = jnp.asarray(RNG.randn(n, L), jnp.float32)
+    amp, ls = 0.9, 1.3
+
+    for normalize in (False, True):
+        k_view = kernels.exp_sin_squared_matrix(view, ip_view, amp, ls,
+                                                2 * np.pi)
+        k_obj = kernels.linear_matrix(obj, ip_obj)
+        if normalize:
+            k_obj = kernels.cosine_normalize_matrix(k_obj, obj, ip_obj)
+        Knm = k_view * k_obj
+        want_sigma, want_r = gp_sufficient_stats_reference(Knm, prec, py)
+
+        got_sigma, got_r = fused_kernel_stats(
+            view, obj, ip_view, ip_obj, prec, py, amp=amp,
+            length_scale=ls, family="mnist", normalize=normalize,
+            tile_n=64, interpret=True)
+        np.testing.assert_allclose(got_sigma, want_sigma, rtol=2e-4,
+                                   atol=2e-3)
+        np.testing.assert_allclose(got_r, want_r, rtol=2e-4, atol=2e-3)
+
+
+def test_fused_kernel_stats_sprites_family():
+    from svgpvae_tpu.ops.fused_kernel_stats import fused_kernel_stats
+    from svgpvae_tpu import kernels
+
+    n, m, La, Lc, L = 150, 30, 3, 5, 6
+    act = jnp.asarray(RNG.randn(n, La), jnp.float32)
+    chr_ = jnp.asarray(RNG.randn(n, Lc), jnp.float32)
+    ip_act = jnp.asarray(RNG.randn(m, La), jnp.float32)
+    ip_chr = jnp.asarray(RNG.randn(m, Lc), jnp.float32)
+    prec = jnp.asarray(RNG.rand(n, L) + 0.5, jnp.float32)
+    py = jnp.asarray(RNG.randn(n, L), jnp.float32)
+
+    for normalize in (False, True):
+        k_a = kernels.linear_matrix(act, ip_act)
+        k_c = kernels.linear_matrix(chr_, ip_chr)
+        if normalize:
+            k_a = kernels.cosine_normalize_matrix(k_a, act, ip_act)
+            k_c = kernels.cosine_normalize_matrix(k_c, chr_, ip_chr)
+        Knm = k_a * k_c
+        want_sigma, want_r = gp_sufficient_stats_reference(Knm, prec, py)
+
+        got_sigma, got_r = fused_kernel_stats(
+            act, chr_, ip_act, ip_chr, prec, py, family="sprites",
+            normalize=normalize, tile_n=64, interpret=True)
+        np.testing.assert_allclose(got_sigma, want_sigma, rtol=2e-4,
+                                   atol=2e-3)
+        np.testing.assert_allclose(got_r, want_r, rtol=2e-4, atol=2e-3)
