@@ -427,9 +427,14 @@ def run_svgpvae(args) -> dict:
                         f.write(f"{epoch + 1},{round(test_mse, 4)},"
                                 f"{round(cgen_mse, 4)}\n")
 
-            # metric streams
+            # metric streams, computed on one batch of the test or eval set
+            # (reference: --test_set_metrics, MNIST_experiment.py:395-400)
             if run_dir and not use_vae_pass:
-                out = eval_recon_svgpvae(state.params, batch, eval_key,
+                src = test_d if args.test_set_metrics else eval_d
+                mbatch = next(data.batch_iterator(src, args.batch_size))
+                mbatch = (jnp.asarray(mbatch[0], jnp.float32),
+                          jnp.asarray(mbatch[1], jnp.float32))
+                out = eval_recon_svgpvae(state.params, mbatch, eval_key,
                                          state.geco)
                 savers["elbo"]([steps_done, float(out.elbo),
                                 float(out.recon_loss), float(out.kl_term),
