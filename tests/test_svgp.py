@@ -358,3 +358,30 @@ def test_sprites_kernel_and_gplvm_gather():
     d2c = ((ip[:, None, L_act:] - ip[None, :, L_act:])**2).sum(-1)
     want = (0.01 * np.exp(-0.5 * d2a)) * (0.01 * np.exp(-0.5 * d2c))
     np.testing.assert_allclose(got_se, want, rtol=1e-6)
+
+
+def test_ball_kl_quirk_flag():
+    """The reference ball-SVGP KL quirk (SVGPVAE_model.py:134-137) is
+    reproducible behind SVGPConfig.ball_kl_quirk and differs from the
+    correct mu_hat-based KL."""
+    T, batch = 8, 3
+    times = np.arange(1.0, T + 1)
+    y = RNG.randn(batch, T, 1)
+    noise = RNG.rand(batch, T, 1) + 0.2
+
+    outs = {}
+    for quirk in (False, True):
+        cfg = SVGPConfig(jitter=1e-10, ball_kl_quirk=quirk)
+        gp = gpm.init_ball_svgp(5, 1.0, float(T), 2.0, n_channels=1,
+                                config=cfg, dtype=jnp.float64)
+        _, _, mu_hat, A_hat = ball_posterior_params(
+            gp, jnp.asarray(times), jnp.asarray(y), jnp.asarray(noise))
+        sums, kls = ball_variational_loss(
+            gp, jnp.asarray(times), jnp.asarray(y), jnp.asarray(noise),
+            mu_hat, A_hat)
+        outs[quirk] = (np.asarray(sums), np.asarray(kls))
+
+    # sum terms identical; KL terms differ between the two forms
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-10)
+    assert not np.allclose(outs[False][1], outs[True][1])
+    assert np.all(np.isfinite(outs[True][1]))
