@@ -87,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="existing run dir to resume from (restores the "
                         "full TrainState from its ckpt/)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="compute the conv nets in bfloat16 (GP math stays f32)")
     return p
 
 
@@ -163,12 +165,13 @@ def run_svgpvae(args) -> dict:
     is_svgpvae = "SVGPVAE" in args.elbo
     is_cvae = args.elbo == "CVAE"
 
+    net_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if is_cvae:
-        vae = nets.MnistCVAE(L=args.L)
+        vae = nets.MnistCVAE(L=args.L, dtype=net_dtype)
         dummy = jnp.zeros((2, 28, 28, 3))
         vae_params = vae.init(init_key, dummy, jnp.zeros(2))
     else:
-        vae = nets.MnistVAE(L=args.L)
+        vae = nets.MnistVAE(L=args.L, dtype=net_dtype)
         vae_params = vae.init(init_key, jnp.zeros((2, 28, 28, 1)))
     params = {"vae": vae_params}
 

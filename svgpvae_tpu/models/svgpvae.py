@@ -103,6 +103,11 @@ def forward_pass_svgpvae(
     qnet_mu, qnet_var = vae.apply(vae_params, images, method=vae.encode)
     L = qnet_mu.shape[1]
 
+    # GP linear algebra needs >= float32 even when the conv nets compute in
+    # bfloat16 (mixed precision); images.dtype is the loss dtype
+    qnet_mu = qnet_mu.astype(dtype)
+    qnet_var = qnet_var.astype(dtype)
+
     if clip_qs:
         qnet_var = jnp.clip(qnet_var, *QVAR_CLIP)
 
@@ -136,7 +141,7 @@ def forward_pass_svgpvae(
 
     recon_images = vae.apply(vae_params, latent_samples, method=vae.decode)
 
-    sq_err = (images - recon_images) ** 2
+    sq_err = (images - recon_images.astype(dtype)) ** 2
     if geco:
         per_image_mse = jnp.mean(sq_err, axis=(1, 2, 3))
         recon_loss = jnp.sum(per_image_mse - kappa * kappa)
