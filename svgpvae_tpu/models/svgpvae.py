@@ -132,6 +132,12 @@ def forward_pass_svgpvae(
 
     if is_sprites:  # numerical-stability clip (reference :891-892)
         p_v = jnp.clip(p_v, *PVAR_CLIP)
+    else:
+        # f32 guard: the posterior-variance cancellation Kxx - nystrom +
+        # sig_quad can dip slightly negative in float32 (the reference's
+        # float64 hides this; it clips the SPRITES path for the same
+        # reason, :1175-1177), which would NaN the log in the CE term
+        p_v = jnp.maximum(p_v, 1e-6)
 
     ce_term = jnp.sum(linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var))
     kl_term = -ce_term + inside_elbo

@@ -21,6 +21,19 @@ from flax import linen as nn
 from jax import Array
 
 
+def safe_exp(x, cap: float = 15.0):
+    """exp with a one-sided input cap.
+
+    The encoders emit log-variances; in float32 an unbounded exp overflows
+    to inf once the pre-activation drifts past ~88, and the downstream
+    variance clip (models.QVAR_CLIP) cannot repair the inf that already
+    entered the gradient chain (clip'(x)=0 * inf = NaN).  e^15 ~ 3e6 is far
+    above every variance clip ceiling, so values are unchanged in the
+    operating range.
+    """
+    return jnp.exp(jnp.minimum(x, cap))
+
+
 def upsample2x(x: Array) -> Array:
     """Nearest-neighbour 2x spatial upsampling, NHWC (keras UpSampling2D)."""
     x = jnp.repeat(x, 2, axis=1)
@@ -54,7 +67,7 @@ class BallEncoder(nn.Module):
         h = nn.Dense(out_dim, dtype=self.dtype)(h)
         h = h.reshape(b, t, out_dim)
         means = h[:, :, :2]
-        variances = jnp.exp(h[:, :, 2:])
+        variances = safe_exp(h[:, :, 2:])
         return means, variances
 
 
@@ -138,7 +151,7 @@ class MnistVAE(nn.Module):
 
     def encode(self, images: Array) -> Tuple[Array, Array]:
         enc = self.encoder(images)
-        return enc[:, :self.L], jnp.exp(enc[:, self.L:])
+        return enc[:, :self.L], safe_exp(enc[:, self.L:])
 
     def decode(self, latents: Array) -> Array:
         return self.decoder(latents)
@@ -180,7 +193,7 @@ class MnistCVAE(nn.Module):
         h = jnp.concatenate(
             [h, jnp.sin(ang)[:, None], jnp.cos(ang)[:, None]], axis=1)
         enc = self.enc_out(h)
-        return enc[:, :self.L], jnp.exp(enc[:, self.L:])
+        return enc[:, :self.L], safe_exp(enc[:, self.L:])
 
     def decode(self, latents: Array, angles: Array) -> Array:
         ang = angles.astype(self.dtype)
@@ -239,7 +252,7 @@ class SpritesVAE(nn.Module):
             h = nn.elu(conv(h))
         h = h.reshape(h.shape[0], -1)  # (b, 8*8*16)
         enc = self.enc_out(h)
-        return enc[:, :self.L], jnp.exp(enc[:, self.L:])
+        return enc[:, :self.L], safe_exp(enc[:, self.L:])
 
     def decode(self, latents: Array) -> Array:
         h = self.dec_in(latents.astype(self.dtype))
