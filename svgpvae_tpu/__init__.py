@@ -33,4 +33,15 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:  # pragma: no cover - backends already initialized
         pass
 
+# TPU matmuls default to bfloat16-pass arithmetic, which destroys the
+# cancellation-heavy GP linear algebra (Sigma assembly / Nystrom terms go
+# non-PSD after a few hundred training steps and Cholesky NaNs).  These
+# models are overhead-bound, not FLOP-bound, so full-precision matmuls are
+# effectively free.  Override with SVGPVAE_MATMUL_PRECISION={default,
+# high,highest}; bfloat16 nets opted in via --bf16 are unaffected (their
+# dtype is bf16, not a lowered f32).
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("SVGPVAE_MATMUL_PRECISION", "highest"))
+
 from svgpvae_tpu import kernels, linalg  # noqa: F401
