@@ -157,6 +157,18 @@ def run_experiment(args) -> dict:
             ip_init, gplvm_init, L_action=args.L_action,
             use_se_kernel=args.K_SE, config=cfg)
 
+    # upload the train set to device memory ONCE; pretraining and the main
+    # loop scan over zero-copy reshapes of these arrays (per-batch
+    # host->device transfers are the bottleneck on a tunneled device)
+    train_frames_dev = jnp.asarray(train_d["frames"], jnp.float32)
+    train_action_dev = jnp.asarray(train_d["aux_data"][:, 1], jnp.float32)
+    train_char_dev = jnp.asarray(train_d["aux_data"][:, 0], jnp.float32)
+
+    def device_batches(leading: int, *arrays):
+        n = (arrays[0].shape[0] // leading) * leading
+        return tuple(a[:n].reshape(n // leading, leading, *a.shape[1:])
+                     for a in arrays)
+
     # ---------------- representation-network pretraining ----------------
     if is_svgpvae and "yes" in args.repr_nn_pretrain:
         head = nets.ClassificationHead(num_classes=n_chars)
@@ -174,22 +186,23 @@ def run_experiment(args) -> dict:
             acc = jnp.mean(jnp.argmax(logits, 1) == labels)
             return loss, (geco, {"acc": acc})
 
-        pre_step = train.make_train_step(pretrain_loss, pre_tx, donate=False)
-        pre_state = train.TrainState.create(pre_params, pre_tx, key)
+        pre_epoch = train.make_epoch_fn(pretrain_loss, pre_tx, donate=True)
+        # fresh key: the epoch runner donates its state (incl. the key
+        # buffer), so the shared init key must not be captured by it
+        pre_state = train.TrainState.create(pre_params, pre_tx,
+                                            jax.random.fold_in(key, 101))
         bs_pre = min(args.batch_size_repr_nn, N_train)
+        pre_batches = device_batches(bs_pre, train_frames_dev,
+                                     train_char_dev)
         t0 = time.time()
         print("pretraining representation net "
               f"({args.nr_epochs_repr_nn} epochs, batch {bs_pre})")
         for epoch in range(args.nr_epochs_repr_nn):
-            losses, accs = [], []
-            for frames, aux in data.sprites_batch_iterator(train_d, bs_pre):
-                batch = (jnp.asarray(frames), jnp.asarray(aux[:, 0]))
-                pre_state, m = pre_step(pre_state, batch)
-                losses.append(float(m["loss"]))
-                accs.append(float(m["acc"]))
+            pre_state, ms = pre_epoch(pre_state, pre_batches)
             if epoch % 10 == 0:
                 print(f"  pretrain epoch {epoch}: loss "
-                      f"{np.mean(losses):.4f} acc {np.mean(accs):.3f}")
+                      f"{float(ms['loss'].mean()):.4f} acc "
+                      f"{float(ms['acc'].mean()):.3f}")
         print(f"pretraining done in {time.time() - t0:.1f}s")
         params["repr"] = pre_state.params["repr"]
 
@@ -211,7 +224,7 @@ def run_experiment(args) -> dict:
     tx = train.make_optimizer(
         args.lr, mask=mask,
         clip_grad_value=args.clip_grad_thres if args.clip_grad else None)
-    state = train.TrainState.create(params, tx, key)
+    state = train.TrainState.create(params, tx, jax.random.fold_in(key, 202))
 
     kappa = float(np.sqrt(args.kappa_squared))
 
@@ -237,6 +250,11 @@ def run_experiment(args) -> dict:
         return -out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss})
 
     step_fn = train.make_train_step(loss_fn, tx, donate=False)
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
+    main_batches = device_batches(batch_size, train_frames_dev,
+                                  train_action_dev)
+    n_full = main_batches[0].shape[0]
+    tail_n = N_train - n_full * batch_size
 
     @jax.jit
     def test_recon_fn(params, batch, key, geco):
@@ -279,9 +297,12 @@ def run_experiment(args) -> dict:
     t_start = time.time()
     for epoch in range(nr_epochs):
         t_epoch = time.time()
-        elbos, losses = [], []
-        for frames, aux in data.sprites_batch_iterator(train_d, batch_size):
-            batch = (jnp.asarray(frames), jnp.asarray(aux[:, 0]))
+        state, ms = epoch_fn(state, main_batches)
+        elbos = list(np.asarray(ms["elbo"]))
+        losses = list(np.asarray(ms["recon"]))
+        steps_done += n_full
+        if tail_n:
+            batch = (train_frames_dev[-tail_n:], train_action_dev[-tail_n:])
             state, m = step_fn(state, batch)
             elbos.append(float(m["elbo"]))
             losses.append(float(m["recon"]))
@@ -313,11 +334,14 @@ def run_experiment(args) -> dict:
             # conditional generation for unseen characters
             if is_svgpvae:
                 means, variances, auxs = [], [], []
-                for frames, aux in data.sprites_batch_iterator(train_d,
-                                                               batch_size):
-                    mu, var, aux_j = encode_fn(state.params,
-                                               jnp.asarray(frames),
-                                               jnp.asarray(aux[:, 0]))
+                enc_iter = [(main_batches[0][i], main_batches[1][i])
+                            for i in range(n_full)]
+                if tail_n:
+                    enc_iter.append((train_frames_dev[-tail_n:],
+                                     train_action_dev[-tail_n:]))
+                for frames, action_ids in enc_iter:
+                    mu, var, aux_j = encode_fn(state.params, frames,
+                                               action_ids)
                     means.append(np.asarray(mu))
                     variances.append(np.asarray(var))
                     auxs.append(np.asarray(aux_j))
