@@ -124,6 +124,7 @@ def run_experiment(args) -> dict:
         return True
 
     mask = train.trainable_mask(params, trainable)
+    print(f"trainable parameters: {utils.count_params(params)}")
     tx = train.make_optimizer(
         1e-3, mask=mask if is_svgpvae else None,
         clip_grad_value=1e5 if args.clip_grad else None)

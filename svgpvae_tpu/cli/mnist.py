@@ -196,6 +196,7 @@ def run_svgpvae(args) -> dict:
         return True
 
     mask = train.trainable_mask(params, trainable) if is_svgpvae else None
+    print(f"trainable parameters: {utils.count_params(params)}")
     tx = train.make_optimizer(args.lr, mask=mask)
     state = train.TrainState.create(params, tx, key)
     if args.resume_dir:

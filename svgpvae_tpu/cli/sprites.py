@@ -221,6 +221,7 @@ def run_experiment(args) -> dict:
         return True
 
     mask = train.trainable_mask(params, trainable) if is_svgpvae else None
+    print(f"trainable parameters: {utils.count_params(params)}")
     tx = train.make_optimizer(
         args.lr, mask=mask,
         clip_grad_value=args.clip_grad_thres if args.clip_grad else None)

@@ -167,3 +167,15 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 7
     np.testing.assert_allclose(restored.params["w"], state.params["w"])
     np.testing.assert_allclose(restored.geco.lagrange_mult, 1.0)
+
+
+def test_dict_to_flags():
+    s = utils.dict_to_flags({"lr": 0.1, "elbo": "VAE"})
+    assert s == " --lr 0.1 --elbo VAE"
+
+
+def test_save_video_frames(tmp_path):
+    vids = np.zeros((2, 3, 8, 8))
+    out = utils.save_video_frames(vids, str(tmp_path / "v"), index=1)
+    import os
+    assert len(os.listdir(out)) == 3
