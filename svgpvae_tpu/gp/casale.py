@@ -10,7 +10,7 @@ possible.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import struct

@@ -6,7 +6,7 @@ Reference: forward_pass_standard_VAE_rotated_mnist
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from svgpvae_tpu import linalg
-from svgpvae_tpu.train.state import GECOState, TrainState
+from svgpvae_tpu.train.state import TrainState
 
 
 def parse_opt_regime(specs: List[str]) -> Tuple[int, List[str]]:
