@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--elbo", type=str, default="VAE",
                    choices=["VAE", "CVAE", "SVGPVAE_Hensman",
                             "SVGPVAE_Titsias", "GPVAE_Casale",
-                            "SVIGP_Hensman"])
+                            "GPVAE_Casale_batch", "SVIGP_Hensman"])
     p.add_argument("--mnist_data_path", type=str, default="mnist_data/")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--nr_epochs", type=int, default=1000)
@@ -786,7 +786,10 @@ def run_casale(args) -> dict:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.elbo == "GPVAE_Casale":
+    if args.elbo.startswith("GPVAE_Casale"):
+        # "GPVAE_Casale_batch" is accepted for reference-CLI parity; the
+        # training pass is identical (the reference's batch variant only
+        # changed how the full-train encode was fed)
         return run_casale(args)
     if args.elbo == "SVIGP_Hensman":
         return run_svigp(args)
