@@ -97,6 +97,7 @@ def mask_to_indices(train_ids_mask) -> "np.ndarray":
     return np.nonzero(np.asarray(train_ids_mask))[0]
 
 
+@linalg.precise
 def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
              train_ids_mask: Array) -> Array:
     """Low-rank factor V with K ~= V V^T + alpha I.
@@ -130,6 +131,7 @@ def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
     return jnp.take(V_tilde, idx, axis=0)
 
 
+@linalg.precise
 def casale_k_inv(V: Array, alpha) -> Array:
     """Woodbury inverse K^{-1} = (1/a) I - (1/a) V (a I + V^T V)^{-1} V^T.
 
@@ -145,6 +147,7 @@ def casale_k_inv(V: Array, alpha) -> Array:
     return (jnp.eye(N, dtype=dtype) - V @ sol) / alpha
 
 
+@linalg.precise
 def apply_k_inv(V: Array, alpha, rhs: Array) -> Array:
     """K^{-1} @ rhs without materializing the (N, N) inverse."""
     H = V.shape[1]
@@ -153,6 +156,7 @@ def apply_k_inv(V: Array, alpha, rhs: Array) -> Array:
     return (rhs - V @ linalg.cho_solve(inner_chol, V.T @ rhs)) / alpha
 
 
+@linalg.precise
 def taylor_coeffs(gp: CasaleGP, Z: Array, V: Array
                   ) -> Tuple[Array, Array, Array]:
     """First-order Taylor coefficients (a, B, c) of the GP prior term.

@@ -28,6 +28,7 @@ def _batch_diag(v: Array) -> Array:
     return v[..., None] * jnp.eye(n, dtype=v.dtype)
 
 
+@linalg.precise
 def gp_regression_1d(x: Array, y: Array, var_y: Array, x_test: Array,
                      length_scale, full_variance: bool = False,
                      jitter: float = 0.0) -> GP1DPosterior:

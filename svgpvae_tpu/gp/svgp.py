@@ -247,6 +247,7 @@ def init_sprites_svgp(initial_inducing_points, initial_gplvm_action,
 # ---------------------------------------------------------------------------
 
 
+@linalg.precise
 def kernel_matrices(gp, aux: Array):
     """Compute the per-step kernel bundle once, shared across L channels.
 
@@ -272,6 +273,7 @@ def _sigma_l(Kmm: Array, Knm: Array, precision: Array, scale) -> Array:
     return Kmm[None] + scale * sig
 
 
+@linalg.precise
 def posterior_params(gp, aux_test: Array, aux_train: Array, y: Array,
                      noise: Array):
     """Parameters of the approximate GP posterior q_S for ALL channels.
@@ -326,6 +328,7 @@ def posterior_params(gp, aux_test: Array, aux_train: Array, y: Array,
     return p_m, p_v, mu_hat, A_hat
 
 
+@linalg.precise
 def hensman_terms(gp, Kmm_chol: Array, Knm: Array, Knn_diag: Array,
                   y: Array, noise: Array, mu_hat: Array, A_hat: Array):
     """Hensman L_H inside-ELBO pieces for all channels at once.
@@ -364,6 +367,7 @@ def hensman_terms(gp, Kmm_chol: Array, Knm: Array, Knn_diag: Array,
     return sum_terms, kl_terms
 
 
+@linalg.precise
 def titsias_terms(gp, Kmm_chol: Array, Knm: Array, Knn_diag: Array,
                   y: Array, noise: Array):
     """Titsias L_T inside-ELBO for all channels.
@@ -451,6 +455,7 @@ def _fused_precompute_stats(gp, aux_train, precision, py):
     return None
 
 
+@linalg.precise
 def precompute_test_posterior_terms(gp, means: Array, variances: Array,
                                     aux_train: Array):
     """Full-train-set posterior precomputation (reference:
@@ -488,6 +493,7 @@ def precompute_test_posterior_terms(gp, means: Array, variances: Array,
     return mean_terms, Sigma_inv, Kmm_inv
 
 
+@linalg.precise
 def posterior_from_precomputed(gp, aux_target: Array, mean_terms: Array,
                                Sigma_inv: Array, Kmm_inv: Array):
     """Fast GP predictive posterior from precomputed terms (reference:
@@ -510,6 +516,7 @@ def posterior_from_precomputed(gp, aux_target: Array, mean_terms: Array,
 # ---------------------------------------------------------------------------
 
 
+@linalg.precise
 def ball_posterior_params(gp: BallSVGP, times: Array, y: Array, noise: Array):
     """Posterior for the moving-ball SVGP (reference:
     SVGP.approximate_posterior_params, SVGPVAE_model.py:141-171).
@@ -552,6 +559,7 @@ def ball_posterior_params(gp: BallSVGP, times: Array, y: Array, noise: Array):
     return p_m, B, mu_hat, A_hat
 
 
+@linalg.precise
 def ball_variational_loss(gp: BallSVGP, times: Array, y: Array, noise: Array,
                           mu_hat: Array, A_hat: Array):
     """Inside-ELBO for the ball SVGP (reference: SVGP.variational_loss,

@@ -86,6 +86,7 @@ def init_svigp(initial_inducing_points, object_vectors_init, L: int,
     )
 
 
+@linalg.precise
 def svigp_variational_loss(gp: SVIGP, aux: Array):
     """L_H pieces for all channels (reference:
     SVIGP_Hensman.variational_loss, SVIGP_Hensman_model.py:135-198).
@@ -121,6 +122,7 @@ def svigp_variational_loss(gp: SVIGP, aux: Array):
     return sum_terms, kl_terms, mean_vectors
 
 
+@linalg.precise
 def svigp_posterior_params(gp: SVIGP, aux_test: Array):
     """Predictive posterior q_S at test points for all channels.
 

@@ -26,6 +26,25 @@ from jax import Array
 LOG_2PI = math.log(2.0 * math.pi)
 
 
+def precise(fn):
+    """Force full-precision matmuls inside `fn`.
+
+    TPU lowers float32 matmuls to bfloat16 passes by default, which breaks
+    the PSD-ness of the cancellation-heavy GP matrices (Cholesky NaNs after
+    a few hundred steps).  Decorating the GP-math entry points keeps them
+    correct even when the global default (svgpvae_tpu/__init__.py) is
+    relaxed for the conv nets via SVGPVAE_MATMUL_PRECISION=default.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def add_jitter(mat: Array, jitter) -> Array:
     """M + jitter * I on the last two dims (reference: SVGPVAE_model.py:13-14)."""
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)

@@ -31,6 +31,8 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svgpvae_tpu.linalg import precise as _precise
+
 
 def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
@@ -110,6 +112,7 @@ def gp_sufficient_stats(Knm: Array, prec: Array, py: Array,
     return sigma[:, :m, :m], r[:, :m]
 
 
+@_precise
 def gp_sufficient_stats_reference(Knm: Array, prec: Array, py: Array):
     """Plain-XLA reference of the same contraction (used by tests and as
     the fallback on non-TPU backends)."""
@@ -157,6 +160,7 @@ def _gp_stats_fwd(Knm, prec, py):
     return out, (Knm, prec, py)
 
 
+@_precise
 def _gp_stats_bwd(residuals, cotangents):
     Knm, prec, py = residuals
     d_sigma, d_r = cotangents
