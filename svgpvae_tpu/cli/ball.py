@@ -178,7 +178,9 @@ def run_experiment(args) -> dict:
         data_key, k = jax.random.split(data_key)
         vids = video_fn(k)
         state, metrics = step_fn(state, vids)
-        g_s = int(state.step)
+        # host-side step counter: int(state.step) would force a device
+        # round-trip every iteration
+        g_s = t + 1
 
         if g_s % args.eval_every == 0:
             out = eval_fn(state.params, td0, eval_key)
