@@ -457,6 +457,16 @@ def run_svgpvae(args) -> dict:
                               float(jnp.linalg.norm(gp_p.inducing_points)),
                               0.0 if gp_p.object_vectors is None else
                               float(jnp.linalg.norm(gp_p.object_vectors))])
+                # full GP parameter arrays for offline diagnostics
+                # (reference pickles variable_summary outputs per eval,
+                # MNIST_experiment.py:277-285)
+                np.savez(os.path.join(run_dir, "res",
+                                      f"gp_params_{steps_done}.npz"),
+                         length_scale=np.asarray(gp_p.length_scale),
+                         amplitude=np.asarray(gp_p.amplitude),
+                         inducing_points=np.asarray(gp_p.inducing_points),
+                         object_vectors=np.asarray(gp_p.object_vectors)
+                         if gp_p.object_vectors is not None else np.zeros(0))
                 # kernel-matrix heatmaps on the first train batch
                 # (reference: visualize_kernel_matrices, utils.py:747-796)
                 aux0 = aux_train_full[:args.batch_size]

@@ -91,6 +91,20 @@ def _scalarize(v):
     return np.array2string(arr.ravel(), max_line_width=10**9, threshold=64)
 
 
+def post_process_full_cholesky(arr: np.ndarray, tmax: int) -> np.ndarray:
+    """(batch, tmax, 2*tmax) stacked lower-triangular Cholesky rows ->
+    (batch, tmax, 2) marginal variances (reference:
+    post_process_full_cholesky, utils.py:248-259).  Used when the ball
+    encoder runs with the full_cholesky head."""
+    def tri_var(block):
+        tri = np.tril(block)
+        return np.diagonal(tri @ np.transpose(tri, (0, 2, 1)),
+                           axis1=1, axis2=2)
+    var_x = tri_var(arr[:, :, :tmax])
+    var_y = tri_var(arr[:, :, tmax:])
+    return np.stack([var_x, var_y], axis=2)
+
+
 def count_params(params, print_shapes: bool = False) -> int:
     """Total parameter count of a pytree (reference:
     print_trainable_vars, utils.py:878-888)."""
