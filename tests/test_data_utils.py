@@ -179,3 +179,15 @@ def test_save_video_frames(tmp_path):
     out = utils.save_video_frames(vids, str(tmp_path / "v"), index=1)
     import os
     assert len(os.listdir(out)) == 3
+
+
+def test_post_process_full_cholesky():
+    from svgpvae_tpu.utils.metrics import post_process_full_cholesky
+    rng = np.random.RandomState(0)
+    batch, tmax = 3, 5
+    arr = rng.randn(batch, tmax, 2 * tmax)
+    out = post_process_full_cholesky(arr, tmax)
+    assert out.shape == (batch, tmax, 2)
+    # diag of L L^T equals row-wise sum of squares of the lower triangle
+    lx = np.tril(arr[0, :, :tmax])
+    np.testing.assert_allclose(out[0, :, 0], (lx**2).sum(axis=1), atol=1e-10)
