@@ -29,7 +29,9 @@ def make_path_batch(batch: int = 40, tmax: int = 30, lt: float = 5.0,
     """
     t = np.arange(tmax)
     cov = np.exp(-0.5 * (t[:, None] - t[None, :]) ** 2 / (lt * lt))
-    rng = np.random.RandomState(seed)
+    # seed=None draws from the GLOBAL numpy RNG (the reference seeds
+    # np.random.seed(...) in the caller and relies on that state here)
+    rng = np.random if seed is None else np.random.RandomState(seed)
     traj = rng.multivariate_normal(np.zeros(tmax), cov, (batch, 2))
     return np.transpose(traj, (0, 2, 1))
 

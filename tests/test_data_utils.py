@@ -18,10 +18,14 @@ def test_ball_path_and_video_stats():
     assert traj.shape == (8, 20, 2)
     assert vids.shape == (8, 20, 32, 32)
     assert set(np.unique(vids)).issubset({0.0, 1.0})
+    # determinism: same seed -> same batch
+    traj2, vids2 = data.make_video_batch(tmax=20, batch=8, lt=5.0, seed=1)
+    np.testing.assert_allclose(traj2, traj)
     # GP trajectories: unit marginal variance, strong short-lag correlation
     assert abs(np.std(traj) - 1.0) < 0.3
-    lag1 = np.mean(traj[:, :-1, :] * traj[:, 1:, :])
-    assert lag1 > 0.8
+    lag1_corr = (np.mean(traj[:, :-1, :] * traj[:, 1:, :])
+                 / np.var(traj))
+    assert lag1_corr > 0.9
 
 
 def test_ball_video_fn_matches_numpy_stats():
