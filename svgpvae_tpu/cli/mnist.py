@@ -89,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="compute the conv nets in bfloat16 (GP math stays f32)")
+    p.add_argument("--x64", action="store_true",
+                   help="run everything in float64 (the reference's MNIST numeric regime; CPU-oriented)")
     return p
 
 
@@ -143,6 +145,9 @@ def object_vectors_init(args):
 
 
 def run_svgpvae(args) -> dict:
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    data_dtype = jnp.float64 if args.x64 else jnp.float32
     n = len(args.dataset)
     N_train, N_eval, N_test = n * 4050, n * 640, n * 270
 
@@ -165,7 +170,8 @@ def run_svgpvae(args) -> dict:
     is_svgpvae = "SVGPVAE" in args.elbo
     is_cvae = args.elbo == "CVAE"
 
-    net_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    net_dtype = (jnp.float64 if args.x64
+                 else jnp.bfloat16 if args.bf16 else data_dtype)
     if is_cvae:
         vae = nets.MnistCVAE(L=args.L, dtype=net_dtype)
         dummy = jnp.zeros((2, 28, 28, 3))
@@ -183,7 +189,8 @@ def run_svgpvae(args) -> dict:
                          N_train=N_train,
                          K_obj_normalize=args.object_kernel_normalize)
         params["gp"] = gpm.init_mnist_svgp(ip_init, object_vectors_init(args),
-                                           config=cfg)
+                                           config=cfg,
+                                           dtype=data_dtype)
 
     def trainable(path, leaf):
         name = jax.tree_util.keystr(path)
@@ -198,7 +205,7 @@ def run_svgpvae(args) -> dict:
     mask = train.trainable_mask(params, trainable) if is_svgpvae else None
     print(f"trainable parameters: {utils.count_params(params)}")
     tx = train.make_optimizer(args.lr, mask=mask)
-    state = train.TrainState.create(params, tx, key)
+    state = train.TrainState.create(params, tx, key, dtype=data_dtype)
     if args.resume_dir:
         ckpt = os.path.join(args.resume_dir, "ckpt")
         if utils.latest_step(ckpt) is not None:
@@ -242,14 +249,15 @@ def run_svgpvae(args) -> dict:
     epoch_svgpvae = train.make_epoch_fn(loss_svgpvae, tx, donate=True) \
         if is_svgpvae else None
     epoch_vae = train.make_epoch_fn(loss_vae, tx, donate=True)
-    full_batches = train.stack_batches(train_d, args.batch_size)
+    full_batches = train.stack_batches(train_d, args.batch_size,
+                                   dtype=data_dtype)
     n_full = full_batches[0].shape[0]
     tail_n = len(train_d["images"]) - n_full * args.batch_size
     tail_batch = None
     if tail_n:
         tail_batch = (
-            jnp.asarray(train_d["images"][-tail_n:], jnp.float32),
-            jnp.asarray(train_d["aux_data"][-tail_n:], jnp.float32))
+            jnp.asarray(train_d["images"][-tail_n:], data_dtype),
+            jnp.asarray(train_d["aux_data"][-tail_n:], data_dtype))
 
     @jax.jit
     def eval_recon_svgpvae(params, batch, key, geco):
@@ -295,7 +303,7 @@ def run_svgpvae(args) -> dict:
                 ["step", "length_scale", "amplitude", "ip_norm", "ov_norm"],
                 flush_every=1)
 
-    aux_train_full = jnp.asarray(train_d["aux_data"], jnp.float32)
+    aux_train_full = jnp.asarray(train_d["aux_data"], data_dtype)
     eval_key = jax.random.PRNGKey(7)
     cgen_history = []
     t_start = time.time()
@@ -310,8 +318,8 @@ def run_svgpvae(args) -> dict:
             # per-step host loop (bias analysis inspects every batch)
             elbos, losses = [], []
             for batch_np in data.batch_iterator(train_d, args.batch_size):
-                batch = (jnp.asarray(batch_np[0], jnp.float32),
-                         jnp.asarray(batch_np[1], jnp.float32))
+                batch = (jnp.asarray(batch_np[0], data_dtype),
+                         jnp.asarray(batch_np[1], data_dtype))
                 state, m = step_svgpvae(state, batch)
                 mean_vectors_epoch.append(np.asarray(m["mean_vectors"]))
                 elbos.append(float(m["elbo"]))
@@ -334,7 +342,7 @@ def run_svgpvae(args) -> dict:
             full_mv = gpm.mean_vector_bias_analysis(
                 state.params["gp"], aux_train_full,
                 *encode_fn(state.params,
-                           jnp.asarray(train_d["images"], jnp.float32)))
+                           jnp.asarray(train_d["images"], data_dtype)))
             avg_batch = np.mean(mean_vectors_epoch, axis=0)
             bias = float(np.mean(np.abs(avg_batch - np.asarray(full_mv))))
             print(f"bias for epoch {epoch}: {bias:.6f}")
@@ -349,8 +357,8 @@ def run_svgpvae(args) -> dict:
             # eval-set recon MSE
             ev_losses = []
             for batch_np in data.batch_iterator(eval_d, args.batch_size):
-                batch = (jnp.asarray(batch_np[0], jnp.float32),
-                         jnp.asarray(batch_np[1], jnp.float32))
+                batch = (jnp.asarray(batch_np[0], data_dtype),
+                         jnp.asarray(batch_np[1], data_dtype))
                 if use_vae_pass:
                     out = eval_recon_vae(state.params, batch, eval_key)
                 else:
@@ -362,8 +370,8 @@ def run_svgpvae(args) -> dict:
             # test-set recon MSE + pics
             te_losses, recon_arr = [], []
             for batch_np in data.batch_iterator(test_d, args.batch_size):
-                batch = (jnp.asarray(batch_np[0], jnp.float32),
-                         jnp.asarray(batch_np[1], jnp.float32))
+                batch = (jnp.asarray(batch_np[0], data_dtype),
+                         jnp.asarray(batch_np[1], data_dtype))
                 if use_vae_pass:
                     out = eval_recon_vae(state.params, batch, eval_key)
                 else:
@@ -387,7 +395,7 @@ def run_svgpvae(args) -> dict:
                                                     args.batch_size):
                     mu, var = encode_fn(state.params,
                                         jnp.asarray(batch_np[0],
-                                                    jnp.float32))
+                                                    data_dtype))
                     means.append(np.asarray(mu))
                     variances.append(np.asarray(var))
                 means = jnp.asarray(np.concatenate(means))
@@ -395,8 +403,8 @@ def run_svgpvae(args) -> dict:
 
                 cg_losses, cg_images = [], []
                 for batch_np in data.batch_iterator(test_d, args.batch_size):
-                    batch = (jnp.asarray(batch_np[0], jnp.float32),
-                             jnp.asarray(batch_np[1], jnp.float32))
+                    batch = (jnp.asarray(batch_np[0], data_dtype),
+                             jnp.asarray(batch_np[1], data_dtype))
                     recon, loss = cgen_fn(state.params, batch, means,
                                           variances, aux_train_full,
                                           eval_key)
@@ -407,10 +415,10 @@ def run_svgpvae(args) -> dict:
             elif is_cvae:
                 recon, loss = models.predict_cvae(
                     vae, state.params["vae"],
-                    jnp.asarray(train_d["images"], jnp.float32),
+                    jnp.asarray(train_d["images"], data_dtype),
                     aux_train_full,
-                    jnp.asarray(test_d["images"], jnp.float32),
-                    jnp.asarray(test_d["aux_data"], jnp.float32),
+                    jnp.asarray(test_d["images"], data_dtype),
+                    jnp.asarray(test_d["aux_data"], data_dtype),
                     eval_key, n_objects=n * 400)
                 cgen_mse = float(loss)
                 recon_images_cgen = np.asarray(recon)
@@ -436,8 +444,8 @@ def run_svgpvae(args) -> dict:
             if run_dir and not use_vae_pass:
                 src = test_d if args.test_set_metrics else eval_d
                 mbatch = next(data.batch_iterator(src, args.batch_size))
-                mbatch = (jnp.asarray(mbatch[0], jnp.float32),
-                          jnp.asarray(mbatch[1], jnp.float32))
+                mbatch = (jnp.asarray(mbatch[0], data_dtype),
+                          jnp.asarray(mbatch[1], data_dtype))
                 out = eval_recon_svgpvae(state.params, mbatch, eval_key,
                                          state.geco)
                 savers["elbo"]([steps_done, float(out.elbo),
@@ -505,7 +513,7 @@ def run_svgpvae(args) -> dict:
             pickle.dump(recon_images_cgen, f)
     if run_dir and args.save_latents:
         mu, var = encode_fn(state.params,
-                            jnp.asarray(train_d["images"], jnp.float32))
+                            jnp.asarray(train_d["images"], data_dtype))
         if is_svgpvae:
             p_m, p_v, _, _ = gpm.posterior_params(
                 state.params["gp"], aux_train_full, aux_train_full, mu, var)

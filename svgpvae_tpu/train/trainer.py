@@ -138,16 +138,17 @@ def make_epoch_fn(loss_fn, tx, donate: bool = True):
     return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
 
-def stack_batches(data_dict, batch_size: int):
+def stack_batches(data_dict, batch_size: int, dtype=None):
     """Host-side: {'images', 'aux_data'} -> leading-axis-stacked batch pytree
     for `make_epoch_fn` (drops the tail remainder; run it separately with a
     per-batch step to keep exact epoch semantics)."""
     import numpy as np
+    dtype = dtype or np.float32
     n = len(data_dict["images"]) // batch_size
     images = np.stack([
         data_dict["images"][i * batch_size:(i + 1) * batch_size]
-        for i in range(n)]).astype(np.float32)
+        for i in range(n)]).astype(dtype)
     aux = np.stack([
         data_dict["aux_data"][i * batch_size:(i + 1) * batch_size]
-        for i in range(n)]).astype(np.float32)
+        for i in range(n)]).astype(dtype)
     return jnp.asarray(images), jnp.asarray(aux)
