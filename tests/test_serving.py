@@ -48,3 +48,26 @@ def test_predictor_fit_on_mesh():
     pred_local = serving.fit(gp, means, variances, aux)
     np.testing.assert_allclose(pred_sharded.mean_terms,
                                pred_local.mean_terms, rtol=2e-4, atol=1e-5)
+
+
+def test_predictor_sprites_family():
+    """fit/predict also works for the SPRITES GP family (fast posterior)."""
+    N, L, L_act, L_chr, m, n_act = 80, 6, 3, 5, 9, 12
+    vae = nets.SpritesVAE(L=L)
+    vae_params = vae.init(KEY, jnp.zeros((2, 64, 64, 3)))
+    ip = RNG.randn(m, L_act + L_chr)
+    gp = gpm.init_sprites_svgp(
+        ip, RNG.randn(n_act, L_act), L_action=L_act,
+        config=__import__("svgpvae_tpu.gp.svgp", fromlist=["SVGPConfig"]
+                          ).SVGPConfig(jitter=1e-4, N_train=N))
+    aux = jnp.asarray(np.hstack([
+        RNG.randint(0, n_act, (N, 1)).astype(float),
+        RNG.randn(N, L_chr)]), jnp.float32)
+    means = jnp.asarray(RNG.randn(N, L), jnp.float32)
+    variances = jnp.asarray(RNG.rand(N, L) + 0.5, jnp.float32)
+
+    pred = serving.fit(gp, means, variances, aux)
+    predict = serving.make_predict_fn(pred, vae, vae_params)
+    images, p_m, p_v = predict(aux[:4], KEY)
+    assert images.shape == (4, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(images)))
