@@ -154,8 +154,14 @@ def run_svgpvae(args) -> dict:
     ensure_dataset(args)
     train_d, eval_d, test_d = data.load_rotated_mnist(
         args.mnist_data_path, digits=args.dataset, M=args.M, N_t=args.N_t)
-    assert len(train_d["images"]) == N_train, \
-        (len(train_d["images"]), N_train)
+    if args.N_t is None:
+        assert len(train_d["images"]) == N_train, \
+            (len(train_d["images"]), N_train)
+    else:
+        # N_t angle subsampling shrinks the train set; keep the reference's
+        # N_train constant for the GP bias correction and MSE normalizers
+        print(f"N_t={args.N_t}: train rows {len(train_d['images'])} "
+              f"(N_train stays {N_train} for scaling, as in the reference)")
 
     run_dir = None
     if args.save:

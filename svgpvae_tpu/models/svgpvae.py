@@ -171,7 +171,7 @@ def forward_pass_svgpvae(
     # reported recon loss is always the per-pixel MSE sum (reference :909,
     # :918-924 report recon/K; under GECO it reports the constraint sum)
     return SVGPVAEOutputs(
-        elbo=elbo, recon_loss=recon_loss if geco else recon_loss,
+        elbo=elbo, recon_loss=recon_loss,
         kl_term=kl_term, inside_elbo=inside_elbo, ce_term=ce_term,
         p_m=p_m, p_v=p_v, qnet_mu=qnet_mu, qnet_var=qnet_var,
         recon_images=recon_images, inside_elbo_recon=inside_elbo_recon,
