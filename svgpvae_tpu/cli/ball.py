@@ -150,9 +150,18 @@ def run_experiment(args) -> dict:
         state = utils.restore_checkpoint(ckpt_dir, state)
         print(f"restored checkpoint at step {int(state.step)}")
 
-    step_fn = train.make_train_step(loss_fn, tx, donate=False)
     video_fn = data.make_video_batch_fn(tmax=tmax, px=px, py=py,
                                         lt=args.vidlt, batch=batch, r=r)
+
+    # run sample->train chunks as single XLA programs (per-step dispatch
+    # through the device link costs ~3 round-trips/step otherwise)
+    import math
+    cadence_gcd = math.gcd(args.eval_every,
+                           math.gcd(args.plot_every, args.ckpt_every))
+    chunk = max(d for d in range(1, min(cadence_gcd, 500) + 1)
+                if cadence_gcd % d == 0)
+    chunk_fn = train.make_generative_chunk_fn(loss_fn, tx, video_fn, chunk,
+                                              donate=False)
 
     @jax.jit
     def eval_fn(params, vids, key):
@@ -174,13 +183,16 @@ def run_experiment(args) -> dict:
     t_start = time.time()
 
     start = int(state.step)
-    for t in range(start, args.steps):
-        data_key, k = jax.random.split(data_key)
-        vids = video_fn(k)
-        state, metrics = step_fn(state, vids)
-        # host-side step counter: int(state.step) would force a device
-        # round-trip every iteration
-        g_s = t + 1
+    g_s = start
+    while g_s < args.steps:
+        n = min(chunk, args.steps - g_s)
+        if n == chunk:
+            state, data_key, metrics = chunk_fn(state, data_key)
+        else:  # tail smaller than a chunk: one-off jit at length n
+            tail_fn = train.make_generative_chunk_fn(loss_fn, tx, video_fn,
+                                                     n, donate=False)
+            state, data_key, metrics = tail_fn(state, data_key)
+        g_s += n
 
         if g_s % args.eval_every == 0:
             out = eval_fn(state.params, td0, eval_key)

@@ -138,6 +138,39 @@ def make_epoch_fn(loss_fn, tx, donate: bool = True):
     return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_generative_chunk_fn(loss_fn, tx, sample_fn, chunk: int,
+                             donate: bool = True):
+    """Jitted multi-step runner for experiments whose training data is
+    GENERATED on device each step (the ball experiment's in-graph
+    resampling, reference utils.py:138-192): `chunk` steps of
+    sample -> step run as one `lax.scan` program, removing the per-step
+    dispatch round-trips of sample_fn/step_fn/key-split.
+
+    `sample_fn(key) -> batch`.  Returns (state, data_key, stacked metrics).
+    """
+
+    def one_step(carry, _):
+        state, dkey = carry
+        dkey, kb = jax.random.split(dkey)
+        batch = sample_fn(kb)
+        key, subkey = jax.random.split(state.key)
+        (loss, (geco, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, subkey, state.geco,
+                                   state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(step=state.step + 1, params=params,
+                              opt_state=opt_state, geco=geco, key=key)
+        return (state, dkey), dict(metrics, loss=loss)
+
+    def chunk_fn(state: TrainState, data_key):
+        (state, data_key), ms = jax.lax.scan(one_step, (state, data_key),
+                                             None, length=chunk)
+        return state, data_key, ms
+
+    return jax.jit(chunk_fn, donate_argnums=(0, 1) if donate else ())
+
+
 def stack_batches(data_dict, batch_size: int, dtype=None):
     """Host-side: {'images', 'aux_data'} -> leading-axis-stacked batch pytree
     for `make_epoch_fn` (drops the tail remainder; run it separately with a
