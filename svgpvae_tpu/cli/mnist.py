@@ -147,6 +147,8 @@ def object_vectors_init(args):
 def run_svgpvae(args) -> dict:
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+        if args.bf16:
+            print("warning: --x64 overrides --bf16 (float64 mode)")
     data_dtype = jnp.float64 if args.x64 else jnp.float32
     n = len(args.dataset)
     N_train, N_eval, N_test = n * 4050, n * 640, n * 270

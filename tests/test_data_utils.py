@@ -195,3 +195,40 @@ def test_post_process_full_cholesky():
     # diag of L L^T equals row-wise sum of squares of the lower triangle
     lx = np.tril(arr[0, :, :tmax])
     np.testing.assert_allclose(out[0, :, 0], (lx**2).sum(axis=1), atol=1e-10)
+
+
+def test_preprocess_sprites_raw_corpus():
+    """Raw-corpus preprocessing path (reference:
+    preprocess_sprite_SVGPVAE, SPRITES_utils.py:45-131) on a tiny fake
+    corpus following the external repo's sprites_act conventions."""
+    rng = np.random.RandomState(0)
+    T, n_attr = 8, 4
+
+    def corpus(n_chars, seqs_per_char):
+        x, a, d = [], [], []
+        for c in range(n_chars):
+            attr = np.zeros((1, n_attr, 6))
+            attr[0, np.arange(n_attr), c % 6] = 1  # unique per character
+            for s in range(seqs_per_char):
+                x.append(rng.rand(T, 64, 64, 3).astype(np.float32))
+                a.append(np.tile(attr, (T, 1, 1)))
+                act = np.zeros((1, 9))
+                act[0, s % 9] = 1
+                d.append(np.tile(act, (T, 1)))
+        return np.stack(x), np.stack(a), np.stack(d)
+
+    x_tr, a_tr, d_tr = corpus(3, 9)   # 3 chars x 9 actions x 8 frames = 72
+    x_te, a_te, d_te = corpus(2, 9)
+
+    splits = data.preprocess_sprites(x_tr, a_tr, d_tr, x_te, a_te, d_te,
+                                     n_frames_train=50)
+    assert splits["train"]["frames"].shape == (3 * 50, 64, 64, 3)
+    assert splits["test_action"]["frames"].shape == (3 * 22, 64, 64, 3)
+    assert splits["test_character"]["frames"].shape == (2 * 72, 64, 64, 3)
+    # aux columns: [char_id, action_frame_id in 0..71]
+    aux = splits["train"]["aux_data"]
+    assert set(np.unique(aux[:, 0])) == {0.0, 1.0, 2.0}
+    assert aux[:, 1].min() >= 0 and aux[:, 1].max() < 72
+    # per-character rows are contiguous (required by the model's
+    # reshape-based segment mean)
+    assert (np.diff(aux[:, 0]) >= 0).all()
