@@ -50,6 +50,15 @@ class SVGPConfig:
     # variant treats each video as a full dataset -> N_train = 0.
     N_train: int = struct.field(pytree_node=False, default=0)
     K_obj_normalize: bool = struct.field(pytree_node=False, default=False)
+    # Relative jitter for the Sigma_l factorization, scaled by Sigma's mean
+    # diagonal.  With the (N/b) bias correction and clipped encoder
+    # precisions, Sigma's magnitude reaches ~1e7-1e8 at SPRITES scale and a
+    # fixed absolute jitter becomes meaningless in float32: the Cholesky
+    # goes NaN where the reference's `tf.linalg.inv` + posterior-variance
+    # clipping returned finite garbage (its documented negative-variance
+    # issue, SVGPVAE_model.py:1175-1177).  Set to 0.0 for exact-parity
+    # studies against absolute-jitter formulas.
+    sigma_rel_jitter: float = struct.field(pytree_node=False, default=1e-6)
     # Reproduce the reference ball-SVGP KL quirk (SVGPVAE_model.py:134-137)
     # which uses sum(A_hat * K_mm^{-1} A_hat) in place of the correct
     # mu_hat^T K_mm^{-1} mu_hat quadratic term.  Off by default (correct
@@ -261,6 +270,17 @@ def kernel_matrices(gp, aux: Array):
     return Kmm, Kmm_chol, Knm, Knn_diag
 
 
+
+def _sigma_cholesky(Sigma, cfg):
+    """Cholesky of Sigma with absolute + relative (mean-diagonal-scaled)
+    jitter; see SVGPConfig.sigma_rel_jitter."""
+    jitter = cfg.jitter
+    if cfg.sigma_rel_jitter:
+        diag_scale = jnp.mean(jnp.diagonal(Sigma, axis1=-2, axis2=-1))
+        jitter = jitter + cfg.sigma_rel_jitter * diag_scale
+    return linalg.safe_cholesky(Sigma, jitter)
+
+
 def _sigma_l(Kmm: Array, Knm: Array, precision: Array, scale) -> Array:
     """Sigma_l = K_mm + scale * K_mn diag(prec_l) K_nm for all L channels.
 
@@ -308,7 +328,7 @@ def posterior_params(gp, aux_test: Array, aux_train: Array, y: Array,
     # r_l = K_mn (prec_l * y_l) (L, m) — Pallas-fused on TPU at scale
     sigma_contrib, r = gp_stats(Knm, precision, precision * y)
     Sigma = Kmm[None] + scale * sigma_contrib
-    Sigma_chol = linalg.safe_cholesky(Sigma, cfg.jitter)  # (L, m, m)
+    Sigma_chol = _sigma_cholesky(Sigma, cfg)  # (L, m, m)
     sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]  # (L, m)
 
     p_m = scale * jnp.einsum("xm,lm->xl", Kxm, sir)  # (x, L)
@@ -484,7 +504,7 @@ def precompute_test_posterior_terms(gp, means: Array, variances: Array,
         Knm = gp.kmat(aux_train, z, x_inducing=False)  # (N, m)
         sigma_contrib, r = gp_stats(Knm, precision, precision * means)
     Sigma = Kmm[None] + sigma_contrib  # (L, m, m)
-    Sigma_chol = linalg.safe_cholesky(Sigma, cfg.jitter)
+    Sigma_chol = _sigma_cholesky(Sigma, cfg)
     eye = jnp.broadcast_to(jnp.eye(Kmm.shape[0], dtype=Kmm.dtype), Sigma.shape)
     Sigma_inv = linalg.cho_solve(Sigma_chol, eye)  # (L, m, m)
     mean_terms = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]  # (L, m)

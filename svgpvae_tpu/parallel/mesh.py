@@ -103,7 +103,8 @@ def sharded_precompute_gp_params(gp_params, means, variances, aux_data,
     sigma_sum, r = sharded(means, variances, aux_data)
 
     Sigma = Kmm[None] + sigma_sum  # (L, m, m)
-    Sigma_chol = linalg.safe_cholesky(Sigma, cfg.jitter)
+    from svgpvae_tpu.gp.svgp import _sigma_cholesky
+    Sigma_chol = _sigma_cholesky(Sigma, cfg)
     eye = jnp.broadcast_to(jnp.eye(Kmm.shape[0], dtype=Kmm.dtype),
                            Sigma.shape)
     Sigma_inv = linalg.cho_solve(Sigma_chol, eye)

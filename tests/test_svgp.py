@@ -102,7 +102,7 @@ def make_mnist_gp(titsias=False, N_train=0, normalize=False, n_obj=11, M=4,
                     RNG.randn(m, M)])
     ov = RNG.randn(n_obj, M)
     cfg = SVGPConfig(titsias=titsias, jitter=1e-8, N_train=N_train,
-                     K_obj_normalize=normalize)
+                     K_obj_normalize=normalize, sigma_rel_jitter=0.0)
     gp = gpm.init_mnist_svgp(ip, ov, config=cfg, dtype=jnp.float64)
     return gp, ip, ov
 
