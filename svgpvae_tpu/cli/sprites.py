@@ -318,7 +318,9 @@ def run_experiment(args) -> dict:
             recon_imgs = frames_last = None
             for frames, aux in data.sprites_batch_iterator(test_char_d,
                                                            batch_test_char):
-                batch = (jnp.asarray(frames), jnp.asarray(aux[:, 0]))
+                # aux columns are [character_id, action_frame_id]; the GP
+                # consumes ACTION ids (GPLVM table gather)
+                batch = (jnp.asarray(frames), jnp.asarray(aux[:, 1]))
                 loss, recon_imgs = test_recon_fn(state.params, batch,
                                                  eval_key, state.geco)
                 te_losses.append(float(loss))
