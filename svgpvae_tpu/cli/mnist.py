@@ -587,6 +587,18 @@ def run_svigp(args) -> dict:
 
     step_fn = train.make_train_step(loss_fn, tx, donate=False)
 
+    # whole-epoch lax.scan runner over the device-resident batches (same
+    # TPU-native mode as run_svgpvae; the tail remainder runs per-step)
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
+    full_batches = train.stack_batches(train_d, args.batch_size)
+    n_full = full_batches[0].shape[0]
+    tail_n = len(train_d["images"]) - n_full * args.batch_size
+    tail_batch = None
+    if tail_n:
+        tail_batch = (
+            jnp.asarray(train_d["images"][-tail_n:], jnp.float32),
+            jnp.asarray(train_d["aux_data"][-tail_n:], jnp.float32))
+
     @jax.jit
     def predict_fn(params, batch):
         return models.predict_deep_svigp(decoder, params["dec"],
@@ -597,11 +609,12 @@ def run_svigp(args) -> dict:
     t_start = time.time()
     recon_images_cgen = None
     for epoch in range(args.nr_epochs):
-        elbos, losses = [], []
-        for batch_np in data.batch_iterator(train_d, args.batch_size):
-            batch = (jnp.asarray(batch_np[0], jnp.float32),
-                     jnp.asarray(batch_np[1], jnp.float32))
-            state, m = step_fn(state, batch)
+        state, ms = epoch_fn(state, full_batches)
+        elbos = list(np.asarray(ms["elbo"]))
+        losses = list(np.asarray(ms["recon"]))
+        steps_done += n_full
+        if tail_batch is not None:
+            state, m = step_fn(state, tail_batch)
             elbos.append(float(m["elbo"]))
             losses.append(float(m["recon"]))
             steps_done += 1
@@ -750,6 +763,25 @@ def run_casale(args) -> dict:
                                          donate=False),
              "VAE": train.make_train_step(loss_vae, txs["VAE"],
                                           donate=False)}
+    # whole-epoch lax.scan runners per regime (within an epoch the regime is
+    # fixed, so each regime's optimizer scans the full device-resident batch
+    # stack; the full-train encode inside loss_casale stays per-step, which
+    # is the reference's semantics — MNIST_experiment.py:861-881).
+    # donate=False: the three regime states share parameter buffers.
+    epochs = {"joint": train.make_epoch_fn(loss_casale, txs["joint"],
+                                           donate=False),
+              "GP": train.make_epoch_fn(loss_casale, txs["GP"],
+                                        donate=False),
+              "VAE": train.make_epoch_fn(loss_vae, txs["VAE"],
+                                         donate=False)}
+    full_batches = train.stack_batches(train_d, args.batch_size)
+    n_full = full_batches[0].shape[0]
+    tail_n = len(train_d["images"]) - n_full * args.batch_size
+    tail_batch = None
+    if tail_n:
+        tail_batch = (
+            jnp.asarray(train_d["images"][-tail_n:], jnp.float32),
+            jnp.asarray(train_d["aux_data"][-tail_n:], jnp.float32))
     states = {r: train.TrainState.create(params, txs[r],
                                          jax.random.fold_in(key, i))
               for i, r in enumerate(("joint", "GP", "VAE"))}
@@ -772,11 +804,12 @@ def run_casale(args) -> dict:
     for epoch in range(nr_epochs):
         r = regime[epoch]
         state = states[r].replace(params=current_params)
-        elbos, losses = [], []
-        for batch_np in data.batch_iterator(train_d, args.batch_size):
-            batch = (jnp.asarray(batch_np[0], jnp.float32),
-                     jnp.asarray(batch_np[1], jnp.float32))
-            state, m = steps[r](state, batch)
+        state, ms = epochs[r](state, full_batches)
+        elbos = list(np.asarray(ms["elbo"]))
+        losses = list(np.asarray(ms["recon"]))
+        steps_done += n_full
+        if tail_batch is not None:
+            state, m = steps[r](state, tail_batch)
             elbos.append(float(m["elbo"]))
             losses.append(float(m["recon"]))
             steps_done += 1
