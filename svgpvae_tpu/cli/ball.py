@@ -168,12 +168,20 @@ def run_experiment(args) -> dict:
         return outputs_fn(params, vids, key, 1.0)
 
     saver = None
+    gp_saver = None
     if run_dir:
         cols = ["step", "loss", "elbo", "recon", "prior_kl", "min_qv",
                 "max_qv", "min_pv", "max_pv", "inside_elbo", "ce_term",
                 "MSE", "beta", "time"]
         saver = utils.ResultSaver(os.path.join(run_dir, "res",
                                                "ELBO_results.csv"), cols)
+        if is_svgpvae:
+            # GP hyperparameter stream (the reference exposes these via
+            # SVGP.variable_summary, SVGPVAE_model.py:372-379; the ball
+            # arrays are small enough to inline per row)
+            gp_saver = utils.ResultSaver(
+                os.path.join(run_dir, "res", "GP_params.csv"),
+                ["step", "length_scale", "ip_norm", "inducing_points"])
 
     data_key = jax.random.PRNGKey(1234 if args.seed is None else args.seed + 1)
     eval_key = jax.random.PRNGKey(99)
@@ -214,6 +222,11 @@ def run_experiment(args) -> dict:
                        float(jnp.mean(out.inside_elbo)),
                        float(jnp.mean(out.ce_term)),
                        mse, args.beta0, time.time()])
+            if gp_saver:
+                gp = state.params["gp"]
+                gp_saver([g_s, np.asarray(gp.length_scale),
+                          float(jnp.linalg.norm(gp.inducing_points)),
+                          np.asarray(gp.inducing_points)])
 
         if run_dir and g_s % args.plot_every == 0:
             out = eval_fn(state.params, td0, eval_key)
@@ -255,6 +268,8 @@ def run_experiment(args) -> dict:
           f"final MSE {last_mse:.4f}")
     if saver:
         saver.flush()
+    if gp_saver:
+        gp_saver.flush()
     if run_dir:
         utils.save_checkpoint(ckpt_dir, state, int(state.step))
     return {"mse": last_mse, "steps_per_sec": steps_done / max(elapsed, 1e-9),

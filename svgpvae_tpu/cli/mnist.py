@@ -298,24 +298,37 @@ def run_svgpvae(args) -> dict:
         nr_epochs, regime = args.nr_epochs, ["VAE"] * args.nr_epochs
 
     savers = {}
+    vae_cols = ["step", "ELBO", "recon_loss", "KL_term", "min_qm", "max_qm",
+                "min_qv", "max_qv"]
     if args.save and run_dir:
-        savers["elbo"] = utils.ResultSaver(
-            os.path.join(run_dir, "res", "ELBO_results.csv"),
-            ["step", "ELBO", "recon_loss", "KL_term", "min_qm", "max_qm",
-             "min_qv", "max_qv", "inside_elbo", "ce_term", "min_pm",
-             "max_pm", "min_pv", "max_pv", "C_ma", "lagrange_mult"],
-            flush_every=1)
         if is_svgpvae:
+            savers["elbo"] = utils.ResultSaver(
+                os.path.join(run_dir, "res", "ELBO_results.csv"),
+                ["step", "ELBO", "recon_loss", "KL_term", "min_qm", "max_qm",
+                 "min_qv", "max_qv", "inside_elbo", "ce_term", "min_pm",
+                 "max_pm", "min_pv", "max_pv", "C_ma", "lagrange_mult"],
+                flush_every=1)
             savers["gp"] = utils.ResultSaver(
                 os.path.join(run_dir, "res", "GP_params.csv"),
                 ["step", "length_scale", "amplitude", "ip_norm", "ov_norm"],
                 flush_every=1)
+            if any(r == "VAE" for r in regime):
+                # separate stream for VAE-regime epochs (reference:
+                # res_file_VAE, MNIST_experiment.py:50-53, 210-287)
+                savers["elbo_vae"] = utils.ResultSaver(
+                    os.path.join(run_dir, "res", "ELBO_VAE_results.csv"),
+                    vae_cols, flush_every=1)
+        else:
+            # plain VAE/CVAE runs stream the base columns
+            savers["elbo"] = utils.ResultSaver(
+                os.path.join(run_dir, "res", "ELBO_results.csv"),
+                vae_cols, flush_every=1)
 
     aux_train_full = jnp.asarray(train_d["aux_data"], data_dtype)
     eval_key = jax.random.PRNGKey(7)
     cgen_history = []
     t_start = time.time()
-    steps_done = 0
+    steps_done = start_steps = int(state.step)  # nonzero on resume
     recon_images_cgen = None
 
     for epoch in range(nr_epochs):
@@ -449,7 +462,18 @@ def run_svgpvae(args) -> dict:
 
             # metric streams, computed on one batch of the test or eval set
             # (reference: --test_set_metrics, MNIST_experiment.py:395-400)
-            if run_dir and not use_vae_pass:
+            if savers and use_vae_pass:
+                src = test_d if args.test_set_metrics else eval_d
+                mbatch = next(data.batch_iterator(src, args.batch_size))
+                mbatch = (jnp.asarray(mbatch[0], data_dtype),
+                          jnp.asarray(mbatch[1], data_dtype))
+                out = eval_recon_vae(state.params, mbatch, eval_key)
+                (savers["elbo_vae"] if is_svgpvae else savers["elbo"])(
+                    [steps_done, float(out.elbo), float(out.recon_loss),
+                     float(out.kl_term),
+                     float(out.qnet_mu.min()), float(out.qnet_mu.max()),
+                     float(out.qnet_var.min()), float(out.qnet_var.max())])
+            if savers and not use_vae_pass:
                 src = test_d if args.test_set_metrics else eval_d
                 mbatch = next(data.batch_iterator(src, args.batch_size))
                 mbatch = (jnp.asarray(mbatch[0], data_dtype),
@@ -507,10 +531,11 @@ def run_svgpvae(args) -> dict:
                                       steps_done)
 
     elapsed = time.time() - t_start
-    print(f"total: {steps_done} steps, {elapsed:.1f}s "
-          f"({steps_done / max(elapsed, 1e-9):.2f} steps/s)")
+    run_steps = steps_done - start_steps
+    print(f"total: {run_steps} steps, {elapsed:.1f}s "
+          f"({run_steps / max(elapsed, 1e-9):.2f} steps/s)")
 
-    result = {"steps_per_sec": steps_done / max(elapsed, 1e-9),
+    result = {"steps_per_sec": run_steps / max(elapsed, 1e-9),
               "state": state}
     if cgen_history:
         best = min(cgen_history, key=lambda x: x[1])

@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_chars", type=int, default=12)
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="existing run dir to resume from (restores the full "
+                        "TrainState from its ckpt/ and skips pretraining)")
     return p
 
 
@@ -120,7 +123,10 @@ def run_experiment(args) -> dict:
         batch_test_char -= N_ACTIONS
 
     run_dir = None
-    if args.save:
+    if args.resume_dir:
+        run_dir = args.resume_dir
+        print(f"resuming into: {run_dir}")
+    elif args.save:
         run_dir = utils.make_checkpoint_folder(
             args.base_dir, args.expid, f"{args.elbo}_{args.beta}")
         utils.dump_args(run_dir, args)
@@ -170,7 +176,7 @@ def run_experiment(args) -> dict:
                      for a in arrays)
 
     # ---------------- representation-network pretraining ----------------
-    if is_svgpvae and "yes" in args.repr_nn_pretrain:
+    if is_svgpvae and "yes" in args.repr_nn_pretrain and not args.resume_dir:
         head = nets.ClassificationHead(num_classes=n_chars)
         head_params = head.init(key, jnp.zeros((2, args.L_character)))
         pre_params = {"repr": params["repr"], "head": head_params}
@@ -194,15 +200,52 @@ def run_experiment(args) -> dict:
         bs_pre = min(args.batch_size_repr_nn, N_train)
         pre_batches = device_batches(bs_pre, train_frames_dev,
                                      train_char_dev)
+
+        # held-out validation on the test_action split: frames of TRAIN
+        # characters performing actions not seen in training (reference:
+        # SPRITES_experiment.py:344-357 evaluates classifier loss/acc on
+        # test_action every 10 pretraining epochs)
+        ta_d = splits["test_action"]
+        ta_frames = jnp.asarray(ta_d["frames"], jnp.float32)
+        ta_chars = jnp.asarray(ta_d["aux_data"][:, 0], jnp.float32)
+
+        @jax.jit
+        def pretrain_eval(p, frames, char_ids):
+            emb = repr_net.apply(p["repr"], frames)
+            logits = head.apply(p["head"], emb)
+            labels = char_ids.astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits)
+            loss = jnp.sum(-logp[jnp.arange(labels.shape[0]), labels])
+            hits = jnp.sum(jnp.argmax(logits, 1) == labels)
+            return loss, hits
+
+        def eval_test_action(p):
+            n = ta_frames.shape[0]
+            c = min(bs_pre, n)
+            loss = hits = 0.0
+            for lo in range(0, (n // c) * c, c):
+                l_, h_ = pretrain_eval(p, ta_frames[lo:lo + c],
+                                       ta_chars[lo:lo + c])
+                loss += float(l_)
+                hits += float(h_)
+            if n % c:
+                l_, h_ = pretrain_eval(p, ta_frames[-(n % c):],
+                                       ta_chars[-(n % c):])
+                loss += float(l_)
+                hits += float(h_)
+            return loss / n, hits / n
+
         t0 = time.time()
         print("pretraining representation net "
               f"({args.nr_epochs_repr_nn} epochs, batch {bs_pre})")
         for epoch in range(args.nr_epochs_repr_nn):
             pre_state, ms = pre_epoch(pre_state, pre_batches)
             if epoch % 10 == 0:
+                va_loss, va_acc = eval_test_action(pre_state.params)
                 print(f"  pretrain epoch {epoch}: loss "
                       f"{float(ms['loss'].mean()):.4f} acc "
-                      f"{float(ms['acc'].mean()):.3f}")
+                      f"{float(ms['acc'].mean()):.3f} | test_action loss "
+                      f"{va_loss:.4f} acc {va_acc:.3f}")
         print(f"pretraining done in {time.time() - t0:.1f}s")
         params["repr"] = pre_state.params["repr"]
 
@@ -226,6 +269,11 @@ def run_experiment(args) -> dict:
         args.lr, mask=mask,
         clip_grad_value=args.clip_grad_thres if args.clip_grad else None)
     state = train.TrainState.create(params, tx, jax.random.fold_in(key, 202))
+    if args.resume_dir:
+        ckpt = os.path.join(args.resume_dir, "ckpt")
+        if utils.latest_step(ckpt) is not None:
+            state = utils.restore_checkpoint(ckpt, state)
+            print(f"resumed from {ckpt} at step {int(state.step)}")
 
     kappa = float(np.sqrt(args.kappa_squared))
 
@@ -292,9 +340,53 @@ def run_experiment(args) -> dict:
     nr_epochs, regime = (train.parse_opt_regime(list(args.opt_regime))
                          if is_svgpvae else (args.nr_epochs, None))
 
+    # per-epoch metric streams on one batch of the train set, or of the
+    # test_character set under --test_set_metrics (reference:
+    # SPRITES_experiment.py:243-296 res_vars/res_vars_GP, :445-467)
+    @jax.jit
+    def metrics_train_fn(params, batch, key, geco):
+        if is_svgpvae:
+            return svgpvae_outputs(params, batch, key, geco, args.alpha,
+                                   fpc_train)
+        return models.forward_pass_vae(vae, params["vae"], batch, key,
+                                       clip_qs=args.clip_qs)
+
+    @jax.jit
+    def metrics_test_fn(params, batch, key, geco):
+        if is_svgpvae:
+            return svgpvae_outputs(params, batch, key, geco, args.alpha,
+                                   N_ACTIONS)
+        return models.forward_pass_vae(vae, params["vae"], batch, key,
+                                       clip_qs=args.clip_qs)
+
+    savers = {}
+    if run_dir:
+        cols = ["step", "ELBO", "recon_loss", "KL_term", "min_qm", "max_qm",
+                "min_qv", "max_qv"]
+        if is_svgpvae:
+            cols += ["inside_elbo", "inside_elbo_recon", "inside_elbo_kl",
+                     "ce_term", "min_pm", "max_pm", "min_pv", "max_pv",
+                     "C_ma", "lagrange_mult"]
+        savers["elbo"] = utils.ResultSaver(
+            os.path.join(run_dir, "res", "ELBO_results.csv"), cols,
+            flush_every=1)
+        if is_svgpvae:
+            savers["gp"] = utils.ResultSaver(
+                os.path.join(run_dir, "res", "GP_params.csv"),
+                ["step", "gplvm_norm", "ip_norm", "l_action", "sigma_action",
+                 "l_character", "sigma_character"], flush_every=1)
+    if args.test_set_metrics:
+        m_frames, m_aux = next(data.sprites_batch_iterator(test_char_d,
+                                                           batch_test_char))
+        metrics_batch = (jnp.asarray(m_frames), jnp.asarray(m_aux[:, 1]))
+        metrics_fn = metrics_test_fn
+    else:
+        metrics_batch = (main_batches[0][0], main_batches[1][0])
+        metrics_fn = metrics_train_fn
+
     eval_key = jax.random.PRNGKey(11)
     cgen_history = []
-    steps_done = 0
+    steps_done = start_steps = int(state.step)  # nonzero on resume
     t_start = time.time()
     for epoch in range(nr_epochs):
         t_epoch = time.time()
@@ -312,7 +404,41 @@ def run_experiment(args) -> dict:
               f"train MSE {np.sum(losses) / N_train:.5f}, "
               f"{time.time() - t_epoch:.2f}s")
 
+        if run_dir:
+            out = metrics_fn(state.params, metrics_batch, eval_key,
+                             state.geco)
+            row = [steps_done, float(out.elbo), float(out.recon_loss),
+                   float(out.kl_term),
+                   float(out.qnet_mu.min()), float(out.qnet_mu.max()),
+                   float(out.qnet_var.min()), float(out.qnet_var.max())]
+            if is_svgpvae:
+                row += [float(out.inside_elbo),
+                        float(out.inside_elbo_recon),
+                        float(out.inside_elbo_kl), float(out.ce_term),
+                        float(out.p_m.min()), float(out.p_m.max()),
+                        float(out.p_v.min()), float(out.p_v.max()),
+                        float(state.geco.C_ma),
+                        float(state.geco.lagrange_mult)]
+            savers["elbo"](row)
+            if is_svgpvae:
+                gp_p = state.params["gp"]
+                savers["gp"]([steps_done,
+                              float(jnp.linalg.norm(gp_p.gplvm_action)),
+                              float(jnp.linalg.norm(gp_p.inducing_points)),
+                              float(gp_p.l_action), float(gp_p.sigma_action),
+                              float(gp_p.l_character),
+                              float(gp_p.sigma_character)])
+
         if (epoch + 1) % args.eval_every == 0:
+            # full GP parameter arrays for offline diagnostics (the
+            # reference streams GPLVM/IP arrays through res_saver_GP,
+            # SPRITES_experiment.py:287-294)
+            if run_dir and is_svgpvae:
+                gp_p = state.params["gp"]
+                np.savez(os.path.join(run_dir, "res",
+                                      f"gp_params_{steps_done}.npz"),
+                         gplvm_action=np.asarray(gp_p.gplvm_action),
+                         inducing_points=np.asarray(gp_p.inducing_points))
             # test_character reconstruction
             te_losses = []
             recon_imgs = frames_last = None
@@ -392,9 +518,15 @@ def run_experiment(args) -> dict:
                                       steps_done)
 
     elapsed = time.time() - t_start
-    print(f"total: {steps_done} steps in {elapsed:.1f}s "
-          f"({steps_done / max(elapsed, 1e-9):.2f} steps/s)")
-    result = {"steps_per_sec": steps_done / max(elapsed, 1e-9)}
+    run_steps = steps_done - start_steps
+    print(f"total: {run_steps} steps in {elapsed:.1f}s "
+          f"({run_steps / max(elapsed, 1e-9):.2f} steps/s)")
+    for s in savers.values():
+        s.flush()
+    if run_dir and args.save_model_weights:
+        utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
+                              steps_done)
+    result = {"steps_per_sec": run_steps / max(elapsed, 1e-9)}
     if cgen_history:
         best = min(cgen_history, key=lambda x: x[1])
         print(f"best cgen MSE {best[1]:.5f} at epoch {best[0]}")
