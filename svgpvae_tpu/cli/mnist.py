@@ -108,6 +108,17 @@ def ensure_dataset(args) -> None:
         return
     assert os.path.exists(REF_EVAL_PICKLE), \
         "no dataset pickles and no shipped eval pickle to derive from"
+    # honesty guard: the shipped eval pickle contains ONLY digit-3 images,
+    # so deriving any other digit set from it would silently produce a
+    # dataset labeled e.g. "36" that consists entirely of 3s.  Generate
+    # multi-digit pickles offline with real MNIST base images via
+    # data.generate_rotated_mnist instead.
+    if args.dataset != "3":
+        raise SystemExit(
+            f"cannot derive dataset '{args.dataset}' from the shipped "
+            "digit-3 eval pickle; provide pre-generated pickles at "
+            f"{args.mnist_data_path} (data.generate_rotated_mnist with "
+            "real multi-digit base images)")
     print(f"dataset not found at {train_p}; deriving base images from the "
           "shipped eval pickle and generating the rotated-MNIST pickles")
     n_digits = len(args.dataset)

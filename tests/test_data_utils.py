@@ -232,3 +232,33 @@ def test_preprocess_sprites_raw_corpus():
     # per-character rows are contiguous (required by the model's
     # reshape-based segment mean)
     assert (np.diff(aux[:, 0]) >= 0).all()
+
+
+def test_rotated_mnist_multi_digit_splits():
+    """Multi-digit base images get per-digit eval/train splits (reference:
+    generate_rotated_MNIST, utils.py:507-657 loops the split per digit)."""
+    rng = np.random.RandomState(0)
+    base = rng.rand(80, 28, 28)  # two "digits" x 40 base images
+    out = data.generate_rotated_mnist(base, None, digits="36", seed=0)
+    train_d, eval_d = out["train"], out["eval"]
+    # eval: last 10% of EACH digit block (ids 36-39 and 76-79), all 16 angles
+    eval_ids = set(eval_d["aux_data"][:, 0].astype(int))
+    assert eval_ids == set(range(36, 40)) | set(range(76, 80))
+    assert len(eval_d["images"]) == 2 * 4 * 16
+    # train: per digit, 36 kept ids x 15 angles x 75% keep rate
+    assert len(train_d["images"]) == int(2 * 36 * 15 * 0.75)
+    train_ids = set(train_d["aux_data"][:, 0].astype(int))
+    assert train_ids.isdisjoint(eval_ids)
+    # both digit blocks present in train
+    assert any(i < 36 for i in train_ids) and any(40 <= i < 76
+                                                  for i in train_ids)
+
+
+def test_mnist_driver_refuses_derived_multi_digit(tmp_path):
+    """The driver must fail loudly rather than derive a '36' dataset from
+    the digit-3-only shipped eval pickle."""
+    from svgpvae_tpu.cli import mnist as mnist_cli
+    args = mnist_cli.build_parser().parse_args(
+        ["--dataset", "36", "--mnist_data_path", str(tmp_path)])
+    with pytest.raises(SystemExit, match="digit-3"):
+        mnist_cli.ensure_dataset(args)
