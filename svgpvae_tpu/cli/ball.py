@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_grad", action="store_true")
     p.add_argument("--vidlt", type=float, default=2.0)
     p.add_argument("--GP_init", type=float, default=2.0)
+    p.add_argument("--full_cholesky", action="store_true",
+                   help="encoder emits per-frame full-Cholesky rows "
+                        "(reference: VAE_utils.py:39-47); the ELBOs consume "
+                        "the implied marginal variances")
     # runtime extensions (not in the reference)
     p.add_argument("--eval_every", type=int, default=1000)
     p.add_argument("--plot_every", type=int, default=10000)
@@ -97,7 +101,7 @@ def run_experiment(args) -> dict:
     key = jax.random.PRNGKey(0 if args.seed is None else args.seed)
     key, init_key = jax.random.split(key)
 
-    encoder = nets.BallEncoder()
+    encoder = nets.BallEncoder(full_cholesky=args.full_cholesky)
     decoder = nets.BallDecoder(px=px, py=py)
     dummy_vids = jnp.zeros((batch, tmax, px, py))
     enc_params = encoder.init(init_key, dummy_vids)

@@ -40,6 +40,34 @@ class BallOutputs(NamedTuple):
     gp_cov_elemwise_mean: Optional[Array]  # (T, T, 2) diagnostics or None
 
 
+def full_cholesky_marginal_vars(qnet_var: Array) -> Array:
+    """(b, T, 2T) stacked per-frame Cholesky rows -> (b, T, 2) marginal
+    variances: diag(tril(L) tril(L)^T) per channel.
+
+    The reference defines the full-Cholesky encoder head
+    (VAE_utils.py:39-47) and the matching post-processing
+    (post_process_full_cholesky, utils.py:248-259) but never consumes the
+    head in an ELBO; the diagonal-noise GP bounds need marginal variances,
+    so this is the in-graph (jnp, differentiable) counterpart of that
+    post-processing.
+    """
+    b, t, two_t = qnet_var.shape
+    tmax = two_t // 2
+    tri = jnp.tril(jnp.ones((tmax, tmax), qnet_var.dtype))
+    lx = qnet_var[:, :, :tmax] * tri
+    ly = qnet_var[:, :, tmax:] * tri
+    return jnp.stack([jnp.sum(lx * lx, axis=-1),
+                      jnp.sum(ly * ly, axis=-1)], axis=2)
+
+
+def _marginalize_qvar(qnet_var: Array) -> Array:
+    """Pass (b, T, 2) diagonal variances through; reduce a full-Cholesky
+    head's (b, T, 2T) output to its marginal variances."""
+    if qnet_var.shape[-1] != 2:
+        return full_cholesky_marginal_vars(qnet_var)
+    return qnet_var
+
+
 def _bernoulli_recon(vids: Array, logits: Array) -> Array:
     """Per-video sigmoid-CE reconstruction log-likelihood term (negative CE,
     summed over frames/pixels).  Reference: SVGPVAE_model.py:704-707."""
@@ -57,6 +85,7 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
     times = jnp.arange(1, tmax + 1, dtype=vids.dtype)
 
     qnet_mu, qnet_var = encoder.apply(enc_params, vids)  # (b, T, 2)
+    qnet_var = _marginalize_qvar(qnet_var)
     if clip_qs:
         qnet_var = jnp.clip(qnet_var, *BALL_QVAR_CLIP)
 
@@ -114,6 +143,7 @@ def pearce_elbo(encoder, enc_params, decoder, dec_params, vids: Array,
     batch_t = jnp.tile(times[None], (batch, 1))
 
     qnet_mu, qnet_var = encoder.apply(enc_params, vids)  # (b, T, 2)
+    qnet_var = _marginalize_qvar(qnet_var)
 
     # full-data posterior + marginal likelihood per channel
     post_x = gp_regression_1d(batch_t, qnet_mu[:, :, 0], qnet_var[:, :, 0],

@@ -21,15 +21,20 @@ import numpy as np
 
 
 def mse_rotation(X: np.ndarray, Y: np.ndarray,
-                 VX: Optional[np.ndarray] = None
+                 VX: Optional[np.ndarray] = None,
+                 full_cholesky: bool = False
                  ) -> Tuple[np.ndarray, np.ndarray, float, np.ndarray]:
     """Least-squares affine alignment of latents X onto true paths Y.
 
-    X, Y: (batch, tmax, 2); VX optional per-point diagonal variances.
+    X, Y: (batch, tmax, 2); VX optional per-point diagonal variances — or,
+    with `full_cholesky`, (batch, tmax, 2*tmax) stacked Cholesky rows that
+    are reduced to marginal variances first (reference: utils.py:234-235).
     Returns (X_aligned, W (3, 2), MSE, VX_aligned (batch, tmax, 2, 2)).
     Reference: utils.py:195-245.
     """
     batch, tmax, _ = X.shape
+    if VX is not None and full_cholesky:
+        VX = post_process_full_cholesky(VX, tmax)
     Xf = np.concatenate([X.reshape(-1, 2), np.ones((batch * tmax, 1))],
                         axis=1)
     Yf = Y.reshape(-1, 2)

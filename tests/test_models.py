@@ -300,3 +300,43 @@ def test_sprites_forward_and_cgen():
     assert recon.shape == (2 * 36, 64, 64, 3)
     assert tgt.shape == recon.shape
     assert np.isfinite(loss)
+
+
+def test_full_cholesky_head_end_to_end():
+    """Full-Cholesky encoder head threads through both ball ELBO families;
+    the in-graph marginalization matches the numpy post-processing
+    (reference: VAE_utils.py:39-47, utils.py:248-259)."""
+    from svgpvae_tpu.models.ball import full_cholesky_marginal_vars
+    from svgpvae_tpu.utils.metrics import post_process_full_cholesky
+
+    batch, T = 4, 8
+    arr = RNG.randn(batch, T, 2 * T)
+    np.testing.assert_allclose(
+        np.asarray(full_cholesky_marginal_vars(jnp.asarray(arr))),
+        post_process_full_cholesky(arr, T), rtol=1e-5)
+
+    enc = nets.BallEncoder(full_cholesky=True)
+    dec = nets.BallDecoder()
+    vids = jnp.asarray(RNG.rand(batch, T, 32, 32) > 0.8, dtype=jnp.float32)
+    ep = enc.init(KEY, vids)
+    dp = dec.init(KEY, jnp.zeros((batch, T, 2)))
+    mu, var = enc.apply(ep, vids)
+    assert var.shape == (batch, T, 2 * T)
+
+    gp = gpm.init_ball_svgp(6, 1.0, float(T), 2.0,
+                            config=SVGPConfig(jitter=1e-6))
+    out = models.ball_svgpvae_elbo(enc, ep, dec, dp, gp, vids, 1.0, KEY,
+                                   clip_qs=True)
+    assert out.qnet_var.shape == (batch, T, 2)
+    assert np.all(np.isfinite(np.asarray(out.elbo)))
+
+    out_p = models.pearce_elbo(enc, ep, dec, dp, vids, 1.0, KEY, 2.0)
+    assert np.all(np.isfinite(np.asarray(out_p.elbo)))
+
+    # the aligned-variance metric accepts the raw Cholesky rows
+    from svgpvae_tpu import utils
+    Y = RNG.randn(batch, T, 2)
+    _, _, _, vx_rot = utils.mse_rotation(np.asarray(mu), Y,
+                                         np.asarray(var),
+                                         full_cholesky=True)
+    assert vx_rot.shape == (batch, T, 2, 2)
