@@ -1,7 +1,10 @@
 from svgpvae_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
     make_mesh,
     shard_batch,
     replicate,
     data_parallel_jit,
+    sharded_posterior_params,
     sharded_precompute_gp_params,
 )

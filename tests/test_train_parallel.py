@@ -139,3 +139,91 @@ def test_sharded_precompute_matches_unsharded():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4,
                                    atol=1e-5)
+
+
+def test_sharded_posterior_params_matches_unsharded():
+    """Sharded MNIST cgen conditioning (GP posterior over the FULL train
+    set) matches gp.posterior_params (reference conditioning pass:
+    SVGPVAE_model.py:1026-1083)."""
+    N, x, L, M, m, n_obj = 64, 12, 3, 2, 5, 6
+    ip = np.hstack([np.arange(m)[:, None], RNG.rand(m, 1) * 2 * np.pi,
+                    RNG.randn(m, M)])
+    gp = gpm.init_mnist_svgp(ip, RNG.randn(n_obj, M),
+                             config=SVGPConfig(jitter=1e-6, N_train=N))
+    def make_aux(n):
+        return jnp.asarray(np.hstack([
+            RNG.randint(0, n_obj, (n, 1)).astype(float),
+            RNG.rand(n, 1) * 2 * np.pi, RNG.randn(n, M)]), jnp.float32)
+    aux_train, aux_test = make_aux(N), make_aux(x)
+    means = jnp.asarray(RNG.randn(N, L), dtype=jnp.float32)
+    variances = jnp.asarray(RNG.rand(N, L) + 0.5, dtype=jnp.float32)
+
+    want = gpm.posterior_params(gp, aux_test, aux_train, means, variances)
+    mesh = parallel.make_mesh(8)
+    got = parallel.sharded_posterior_params(gp, aux_test, aux_train, means,
+                                            variances, mesh)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4,
+                                   atol=1e-5)
+
+
+def test_model_axis_mesh():
+    """make_mesh exposes a model axis (SURVEY.md §2.9); a data-parallel
+    step with parameters replicated over BOTH axes matches single-device."""
+    mesh = parallel.make_mesh(8, model=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == \
+        {"data": 4, "model": 2}
+
+    vae, params, batch, loss_fn = _tiny_svgpvae(b=16)
+    tx = train.make_optimizer(1e-3)
+    state = train.TrainState.create(params, tx, KEY)
+    step = train.make_train_step(loss_fn, tx, donate=False)
+    s1, m1 = step(state, batch)
+
+    state_r = parallel.replicate(mesh, train.TrainState.create(params, tx,
+                                                               KEY))
+    batch_s = parallel.shard_batch(mesh, batch)
+    step_dp = parallel.data_parallel_jit(
+        train.make_train_step(loss_fn, tx, donate=False), mesh)
+    s2, m2 = step_dp(state_r, batch_s)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+
+
+def test_data_parallel_multistep_state_equivalence():
+    """Ten data-parallel steps keep loss, GECO state, PRNG key and Adam
+    moments equivalent to the single-device trajectory (VERDICT round-1
+    weak #6)."""
+    vae, params, batch, loss_fn = _tiny_svgpvae(b=16)
+    tx = train.make_optimizer(1e-3)
+    rng = np.random.RandomState(17)
+    batches = [(jnp.asarray(rng.rand(16, 28, 28, 1), jnp.float32),
+                batch[1]) for _ in range(10)]
+
+    state = train.TrainState.create(params, tx, KEY)
+    step = train.make_train_step(loss_fn, tx, donate=False)
+    losses1 = []
+    for b_ in batches:
+        state, m = step(state, b_)
+        losses1.append(float(m["loss"]))
+
+    mesh = parallel.make_mesh(8)
+    state_r = parallel.replicate(mesh, train.TrainState.create(params, tx,
+                                                               KEY))
+    step_dp = parallel.data_parallel_jit(
+        train.make_train_step(loss_fn, tx, donate=False), mesh)
+    losses2 = []
+    for b_ in batches:
+        state_r, m = step_dp(state_r, parallel.shard_batch(mesh, b_))
+        losses2.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=5e-4)
+    np.testing.assert_allclose(float(state.geco.C_ma),
+                               float(state_r.geco.C_ma), rtol=5e-4)
+    np.testing.assert_allclose(float(state.geco.lagrange_mult),
+                               float(state_r.geco.lagrange_mult), rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(state.key),
+                               np.asarray(state_r.key))
+    for a, b_ in zip(jax.tree_util.tree_leaves(state.opt_state),
+                     jax.tree_util.tree_leaves(state_r.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
