@@ -1,34 +1,63 @@
-"""Benchmark: SVGPVAE training throughput on the north-star config.
+"""Benchmark suite: training throughput + MFU across the three workloads.
 
-Measures the jitted EPOCH runner (lax.scan over a device-resident
-pre-batched dataset — the TPU-native training mode, svgpvae_tpu.train.
-make_epoch_fn) for the paper's main workload: rotated-MNIST SVGPVAE,
-Hensman bound, GECO, batch 256, L=16, M=8, m=32 inducing points
-(MNIST_experiment.py defaults :1128-1158).  Prints ONE JSON line.
+Primary metric (the JSON line's headline, unchanged from round 1) is the
+north-star config: rotated-MNIST SVGPVAE, Hensman bound, GECO, batch 256,
+L=16, M=8, m=32 inducing points (MNIST_experiment.py defaults :1128-1158),
+measured on the jitted EPOCH runner (lax.scan over a device-resident
+pre-batched dataset — svgpvae_tpu.train.make_epoch_fn).
+
+The `suite` field carries the rest (VERDICT r1 item 3):
+  * mnist_train        — steps/s, ms/step, XLA-counted FLOPs/step, MFU
+  * sprites_train      — SPRITES train step at reference scale
+                         (batch 500, 64x64x3, L=64, m=72 IPs)
+  * sprites_precompute — the n=50k sufficient-statistics contraction,
+                         Pallas fused kernel vs plain-XLA einsum
+  * ball_train         — moving-ball sample->train chunk throughput
+                         (batch 35, T=30, in-graph video generation)
+
+MFU = XLA-reported logical FLOPs / elapsed / peak.  Peak is the chip's
+bf16 MXU rate; convs here run at DEFAULT precision (bf16 multiplies) and
+the GP math at HIGHEST (multi-pass, costs >1 logical-FLOP each), so the
+logical-FLOP numerator makes this a conservative lower bound.  These are
+small convnets with tiny GP solves — the workload is HBM/VPU-bound, not
+MXU-bound, so MFU here measures headroom honestly rather than flattering
+the kernel (see RESULTS.md profiling section for the step breakdown).
 
 Timing notes: this environment's TPU tunnel does not implement
-block_until_ready faithfully, so the loop materializes the final scalar
-metric on the host to force the full execution chain before reading the
-clock.
+block_until_ready faithfully, so every loop materializes a scalar from the
+final output on the host to force the full execution chain.
 
 vs_baseline compares against the reference's CPU step time for the same
-config.  TF1.15 cannot run in this image, so tools/baseline_torch.py
-re-creates the reference's step as written (float64, per-channel loops,
-explicit inverses, GECO) in torch on this machine's CPU and stores the
-measured time in BASELINE_MEASURED.json; the pinned constant below is the
-fallback when that file is absent.  The north-star target is >=5x the
-reference CPU baseline (BASELINE.md).
+config (tools/baseline_torch.py measurement in BASELINE_MEASURED.json;
+pinned fallback below).  North-star target: >=5x (BASELINE.md).
+
+`python bench.py --scaling` additionally probes batch scaling with
+device-GENERATED data (no host->device transfer, sidestepping the
+tunnel's transfer limit) and prints one extra JSON line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_TF_CPU_STEP_SEC = 0.62  # estimate; superseded by measurement
+
+# BENCH_SMOKE=1 shrinks every workload to seconds (CI/CPU validation of the
+# harness itself; the numbers it prints are meaningless as benchmarks)
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
+PEAK_FLOPS = (  # bf16 MXU peak per chip, by device_kind substring
+    ("v5 lite", 197.0e12),
+    ("v5e", 197.0e12),
+    ("v5p", 459.0e12),
+    ("v4", 275.0e12),
+    ("v6", 918.0e12),
+)
 
 
 def _baseline_step_sec() -> float:
@@ -40,7 +69,7 @@ def _baseline_step_sec() -> float:
     return REFERENCE_TF_CPU_STEP_SEC
 
 
-def _watchdog(seconds: int = 480):
+def _watchdog(seconds: int = 540):
     """The TPU tunnel in this environment can wedge (remote grant stuck);
     a hung bench is worse than a marked-stale result.  On timeout, print
     the last successful measurement flagged as stale, or a zero-value
@@ -66,10 +95,41 @@ def _watchdog(seconds: int = 480):
     signal.alarm(seconds)
 
 
-def main() -> None:
-    _watchdog()
+def _peak_flops():
     import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return None  # CPU / unknown: no MFU
+
+
+def _flops_of(jitted, *args) -> float | None:
+    """XLA's own FLOP count for one call of a jitted fn (logical FLOPs —
+    each f32-highest multi-pass matmul counts once)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _mfu(flops_per_call, calls_per_sec, peak):
+    if flops_per_call is None or peak is None:
+        return None
+    return round(flops_per_call * calls_per_sec / peak, 5)
+
+
+# ---------------------------------------------------------------------------
+# workloads
+# ---------------------------------------------------------------------------
+
+def bench_mnist(peak):
+    """North-star MNIST SVGPVAE-Hensman GECO epoch-scan."""
     import jax.numpy as jnp
+    import jax
     from svgpvae_tpu import gp as gpm
     from svgpvae_tpu import models, nn as nets, train
     from svgpvae_tpu.gp.svgp import SVGPConfig
@@ -79,6 +139,8 @@ def main() -> None:
 
     # north-star sizes; one epoch = 15 full batches of the N_train=4050 set
     b, L, M, m, n_obj, N_train, n_batches = 256, 16, 8, 32, 400, 4050, 15
+    if SMOKE:
+        b, n_batches = 32, 2
 
     vae = nets.MnistVAE(L=L)
     vae_params = vae.init(key, jnp.zeros((b, 28, 28, 1)))
@@ -108,14 +170,15 @@ def main() -> None:
         return out.elbo, (new_geco, {"recon": out.recon_loss})
 
     tx = train.make_optimizer(1e-3)
-    state = train.TrainState.create(params, tx, key)
+    state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
     epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
 
-    # warmup / compile; materialize to force execution
-    state, metrics = epoch_fn(state, batches)
+    flops_epoch = _flops_of(epoch_fn, state, batches)
+
+    state, metrics = epoch_fn(state, batches)  # warmup / compile
     float(metrics["recon"][-1])
 
-    reps = 20
+    reps = 2 if SMOKE else 20
     t0 = time.perf_counter()
     for _ in range(reps):
         state, metrics = epoch_fn(state, batches)
@@ -124,17 +187,297 @@ def main() -> None:
     assert np.isfinite(final), "training step produced non-finite values"
 
     steps_per_sec = reps * n_batches / elapsed
-    vs_baseline = steps_per_sec * _baseline_step_sec()
+    flops_step = flops_epoch / n_batches if flops_epoch else None
+    return {
+        "steps_per_sec": round(steps_per_sec, 1),
+        "ms_per_step": round(1e3 / steps_per_sec, 4),
+        "flops_per_step": flops_step,
+        "mfu": _mfu(flops_epoch, reps / elapsed, peak),
+        "config": f"batch {b}, 28x28x1, L{L}, M{M}, m{m}, GECO, epoch-scan",
+    }
+
+
+def bench_sprites_train(peak):
+    """SPRITES SVGPVAE-Hensman GECO train step at reference scale:
+    batch 500 (10 chars x 50 frames), 64x64x3, L=64, m=72 IPs
+    (SPRITES_experiment.py defaults)."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import gp as gpm
+    from svgpvae_tpu import models, nn as nets, train
+    from svgpvae_tpu.gp.svgp import SVGPConfig
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    b, fpc, L, L_action, L_char = 500, 50, 64, 8, 16
+    n_actions, n_batches, N_train = 72, 5, 50000
+    if SMOKE:
+        b, n_batches = 50, 2
+
+    vae = nets.SpritesVAE(L=L)
+    vae_params = vae.init(key, jnp.zeros((2, 64, 64, 3)))
+    repr_net = nets.SpritesReprNet(L=L_char)
+    repr_params = repr_net.init(key, jnp.zeros((2, 64, 64, 3)))
+    gp = gpm.init_sprites_svgp(
+        rng.normal(0, 1.5, (n_actions, L_action + L_char)),
+        rng.normal(0, 1.5, (n_actions, L_action)), L_action=L_action,
+        config=SVGPConfig(jitter=1e-6, N_train=N_train))
+
+    frames = jnp.asarray(rng.rand(n_batches, b, 64, 64, 3), jnp.float32)
+    actions = jnp.asarray(
+        rng.randint(0, n_actions, (n_batches, b)), jnp.float32)
+    batches = (frames, actions)
+
+    params = {"vae": vae_params, "repr": repr_params, "gp": gp}
+    kappa = float(np.sqrt(0.02))
+
+    def loss_fn(params, batch, key, geco, step):
+        alpha = train.geco_effective_alpha(step, 0.99)
+        out = models.forward_pass_svgpvae(
+            vae, params["vae"], params["gp"], batch, key, beta=0.001,
+            C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
+            kappa=kappa, clip_qs=True, geco=True,
+            repr_apply=repr_net.apply, repr_params=params["repr"],
+            frames_per_char=fpc)
+        new_geco = train.GECOState(C_ma=out.C_ma,
+                                   lagrange_mult=out.lagrange_mult)
+        return out.elbo, (new_geco, {"recon": out.recon_loss})
+
+    tx = train.make_optimizer(1e-3)
+    state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
+
+    flops_epoch = _flops_of(epoch_fn, state, batches)
+    state, metrics = epoch_fn(state, batches)
+    float(metrics["recon"][-1])
+
+    reps = 2 if SMOKE else 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = epoch_fn(state, batches)
+    final = float(metrics["recon"][-1])
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final), "sprites step produced non-finite values"
+
+    steps_per_sec = reps * n_batches / elapsed
+    return {
+        "steps_per_sec": round(steps_per_sec, 1),
+        "ms_per_step": round(1e3 / steps_per_sec, 3),
+        "flops_per_step": flops_epoch / n_batches if flops_epoch else None,
+        "mfu": _mfu(flops_epoch, reps / elapsed, peak),
+        "config": f"batch {b}, 64x64x3, L{L}, m{n_actions}, GECO, epoch-scan",
+    }
+
+
+def bench_sprites_precompute():
+    """The full-train-set sufficient-statistics contraction behind the
+    SPRITES test pipeline (precompute_GP_params): Pallas fused kernel vs
+    plain-XLA einsum at n=50k, m=72, L=64."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu.ops import gp_stats as ops
+
+    n, m, L = (5000, 72, 64) if SMOKE else (50000, 72, 64)
+    rng = np.random.RandomState(0)
+    Knm = jnp.asarray(rng.rand(n, m), jnp.float32)
+    prec = jnp.asarray(rng.rand(n, L) + 0.5, jnp.float32)
+    py = jnp.asarray(rng.randn(n, L), jnp.float32)
+
+    xla = jax.jit(ops.gp_sufficient_stats_reference)
+    s, r = xla(Knm, prec, py)
+    float(r[0, 0])
+    reps = 3 if SMOKE else 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s, r = xla(Knm, prec, py)
+    float(r[0, 0])
+    xla_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    out = {"xla_ms": round(xla_ms, 3),
+           "config": f"n={n}, m={m}, L={L} (SPRITES full-train precompute)"}
+    if jax.default_backend() == "tpu":
+        pallas = jax.jit(ops.gp_sufficient_stats)
+        s, r = pallas(Knm, prec, py)
+        float(r[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s, r = pallas(Knm, prec, py)
+        float(r[0, 0])
+        pallas_ms = (time.perf_counter() - t0) / reps * 1e3
+        out["pallas_ms"] = round(pallas_ms, 3)
+        out["pallas_speedup"] = round(xla_ms / pallas_ms, 3)
+    return out
+
+
+def bench_ball(peak):
+    """Moving-ball SVGPVAE: sample->train chunks (in-graph video
+    generation + train step as one lax.scan program), batch 35, T=30."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import data, gp as gpm
+    from svgpvae_tpu import models, nn as nets, train
+    from svgpvae_tpu.gp.svgp import SVGPConfig
+
+    batch, px, py_, tmax, m = 35, 32, 32, 30, 15
+    key = jax.random.PRNGKey(0)
+    encoder = nets.BallEncoder()
+    decoder = nets.BallDecoder(px=px, py=py_)
+    enc_params = encoder.init(key, jnp.zeros((batch, tmax, px, py_)))
+    dec_params = decoder.init(key, jnp.zeros((batch, tmax, 2)))
+    gp = gpm.init_ball_svgp(m, tmin=1.0, tmax=float(tmax),
+                            length_scale_init=2.0)
+    gp = gp.replace(config=SVGPConfig(jitter=1e-9))
+    params = {"enc": enc_params, "dec": dec_params, "gp": gp}
+
+    def loss_fn(params, vids, key, geco, step):
+        out = models.ball_svgpvae_elbo(
+            encoder, params["enc"], decoder, params["dec"], params["gp"],
+            vids, 1.0, key, clip_qs=False)
+        return -jnp.mean(out.elbo), (geco, {"elbo": jnp.mean(out.elbo)})
+
+    video_fn = data.make_video_batch_fn(tmax=tmax, px=px, py=py_, lt=2.0,
+                                        batch=batch, r=3.0)
+    tx = train.make_optimizer(1e-3)
+    state = train.TrainState.create(params, tx, key)
+    chunk = 10 if SMOKE else 100
+    chunk_fn = train.make_generative_chunk_fn(loss_fn, tx, video_fn, chunk,
+                                              donate=False)
+    dkey = jax.random.PRNGKey(1)
+    flops_chunk = _flops_of(chunk_fn, state, dkey)
+
+    state, dkey, ms = chunk_fn(state, dkey)
+    float(ms["elbo"][-1])
+    reps = 1 if SMOKE else 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, dkey, ms = chunk_fn(state, dkey)
+    final = float(ms["elbo"][-1])
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final), "ball step produced non-finite values"
+
+    steps_per_sec = reps * chunk / elapsed
+    return {
+        "steps_per_sec": round(steps_per_sec, 1),
+        "ms_per_step": round(1e3 / steps_per_sec, 4),
+        "flops_per_step": flops_chunk / chunk if flops_chunk else None,
+        "mfu": _mfu(flops_chunk, reps / elapsed, peak),
+        "config": f"batch {batch}, T={tmax}, 32x32, m{m}, on-device video gen, "
+                  f"{chunk}-step chunks",
+    }
+
+
+def bench_batch_scaling(peak):
+    """Batch-scaling probe with device-GENERATED data: the MNIST train
+    step at batch 256..4096 where images/aux are produced by jax.random
+    inside the scanned program — zero host->device transfer, so the
+    tunnel's transfer limit (RESULTS.md round 1) does not apply."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import gp as gpm
+    from svgpvae_tpu import models, nn as nets, train
+    from svgpvae_tpu.gp.svgp import SVGPConfig
+
+    rng = np.random.RandomState(0)
+    L, M, m, n_obj = 16, 8, 32, 400
+    key = jax.random.PRNGKey(0)
+    vae = nets.MnistVAE(L=L)
+    vae_params = vae.init(key, jnp.zeros((2, 28, 28, 1)))
+    ip = np.hstack([np.arange(m)[:, None], rng.rand(m, 1) * 2 * np.pi,
+                    rng.randn(m, M)])
+    rows = {}
+    for b in (256, 512, 1024, 2048, 4096):
+        gp = gpm.init_mnist_svgp(
+            ip, rng.randn(n_obj, M),
+            config=SVGPConfig(jitter=1e-6, N_train=16 * b))
+        params = {"vae": vae_params, "gp": gp}
+        kappa = float(np.sqrt(0.02))
+
+        def sample_fn(key, b=b):
+            k1, k2, k3 = jax.random.split(key, 3)
+            images = jax.random.uniform(k1, (b, 28, 28, 1))
+            aux = jnp.concatenate([
+                jax.random.randint(k2, (b, 1), 0, n_obj).astype(jnp.float32),
+                jax.random.uniform(k3, (b, 1 + M))], axis=1)
+            return images, aux
+
+        def loss_fn(params, batch, key, geco, step):
+            alpha = train.geco_effective_alpha(step, 0.99)
+            out = models.forward_pass_svgpvae(
+                vae, params["vae"], params["gp"], batch, key, beta=0.001,
+                C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult,
+                alpha=alpha, kappa=kappa, clip_qs=True, geco=True)
+            return out.elbo, (train.GECOState(
+                C_ma=out.C_ma, lagrange_mult=out.lagrange_mult),
+                {"recon": out.recon_loss})
+
+        tx = train.make_optimizer(1e-3)
+        state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
+        chunk = 50
+        chunk_fn = train.make_generative_chunk_fn(loss_fn, tx, sample_fn,
+                                                  chunk, donate=False)
+        flops_chunk = _flops_of(chunk_fn, state, key)
+        dkey = jax.random.PRNGKey(1)
+        state, dkey, ms = chunk_fn(state, dkey)
+        float(ms["recon"][-1])
+        reps = 4
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, dkey, ms = chunk_fn(state, dkey)
+        float(ms["recon"][-1])
+        elapsed = time.perf_counter() - t0
+        sps = reps * chunk / elapsed
+        rows[str(b)] = {
+            "steps_per_sec": round(sps, 1),
+            "images_per_sec": round(sps * b, 0),
+            "mfu": _mfu(flops_chunk, reps / elapsed, peak),
+        }
+    return rows
+
+
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    _watchdog(900 if scaling else 540)
+    import jax
+
+    peak = _peak_flops()
+    suite = {}
+    for name, fn in (("mnist_train", lambda: bench_mnist(peak)),
+                     ("sprites_train", lambda: bench_sprites_train(peak)),
+                     ("sprites_precompute", bench_sprites_precompute),
+                     ("ball_train", lambda: bench_ball(peak))):
+        try:
+            suite[name] = fn()
+        except Exception as e:  # keep the primary metric printable
+            suite[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"# {name}: {json.dumps(suite[name])}", file=sys.stderr,
+              flush=True)
+
+    mnist = suite.get("mnist_train", {})
+    steps_per_sec = float(mnist.get("steps_per_sec", 0.0))
     result = {
         "metric": "svgpvae_mnist_geco_train_steps_per_sec",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s (batch 256, L16, m32, epoch-scan)",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": round(steps_per_sec * _baseline_step_sec(), 2),
+        "device": jax.devices()[0].device_kind,
+        "peak_flops_bf16": peak,
+        "suite": suite,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LAST_GOOD.json"), "w") as f:
-        json.dump(result, f)
+    if steps_per_sec > 0 and not SMOKE:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST_GOOD.json"), "w") as f:
+            json.dump(result, f)
     print(json.dumps(result))
+
+    if scaling:
+        try:
+            rows = bench_batch_scaling(peak)
+        except Exception as e:
+            rows = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps({"metric": "mnist_batch_scaling_device_data",
+                          "rows": rows}))
 
 
 if __name__ == "__main__":
