@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the implied marginal variances")
     # runtime extensions (not in the reference)
     p.add_argument("--eval_every", type=int, default=1000)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of one post-warmup "
+                        "training chunk to this directory")
     p.add_argument("--plot_every", type=int, default=10000)
     p.add_argument("--ckpt_every", type=int, default=50000)
     p.add_argument("--resume_dir", type=str, default=None,
@@ -196,10 +199,23 @@ def run_experiment(args) -> dict:
 
     start = int(state.step)
     g_s = start
+    # chunk-level wall timing (materializes one scalar per chunk — ~0.1%
+    # of a 100-step chunk; the first, compiling chunk is excluded)
+    timer = utils.StepTimer(steps_per_block=chunk)
+    chunks_done = 0
     while g_s < args.steps:
         n = min(chunk, args.steps - g_s)
         if n == chunk:
-            state, data_key, metrics = chunk_fn(state, data_key)
+            trace = utils.trace_if(args.profile_dir or "",
+                                   enabled=bool(args.profile_dir)
+                                   and chunks_done == 1)
+            if chunks_done == 0:
+                state, data_key, metrics = chunk_fn(state, data_key)
+            else:
+                with trace, timer:
+                    state, data_key, metrics = chunk_fn(state, data_key)
+                    float(metrics["loss"][-1])
+            chunks_done += 1
         else:  # tail smaller than a chunk: one-off jit at length n
             tail_fn = train.make_generative_chunk_fn(loss_fn, tx, video_fn,
                                                      n, donate=False)
@@ -270,6 +286,7 @@ def run_experiment(args) -> dict:
     print(f"trained {steps_done} steps in {elapsed:.1f}s "
           f"({steps_done / max(elapsed, 1e-9):.2f} steps/s); "
           f"final MSE {last_mse:.4f}")
+    print(f"train-step timing (excl. compile/eval): {timer.summary()}")
     if saver:
         saver.flush()
     if gp_saver:

@@ -22,6 +22,7 @@ reference sizes N_train=4050, N_eval=640, N_test=270 per digit.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import pickle
 import time
@@ -87,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="existing run dir to resume from (restores the "
                         "full TrainState from its ckpt/)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of one post-warmup "
+                        "epoch to this directory (view with xprof)")
     p.add_argument("--bf16", action="store_true",
                    help="compute the conv nets in bfloat16 (GP math stays f32)")
     p.add_argument("--x64", action="store_true",
@@ -341,6 +345,9 @@ def run_svgpvae(args) -> dict:
     t_start = time.time()
     steps_done = start_steps = int(state.step)  # nonzero on resume
     recon_images_cgen = None
+    # per-epoch wall time as a first-class metric (SURVEY §5.1); epoch 0
+    # is excluded (compile), and each timed block materializes its metrics
+    timer = utils.StepTimer(steps_per_block=n_full)
 
     for epoch in range(nr_epochs):
         use_vae_pass = (not is_svgpvae) or regime[epoch] == "VAE"
@@ -359,9 +366,13 @@ def run_svgpvae(args) -> dict:
                 steps_done += 1
         else:
             epoch_fn = epoch_vae if use_vae_pass else epoch_svgpvae
-            state, ms = epoch_fn(state, full_batches)
-            elbos = list(np.asarray(ms["elbo"]))
-            losses = list(np.asarray(ms["recon"]))
+            trace = utils.trace_if(args.profile_dir or "",
+                                   enabled=bool(args.profile_dir)
+                                   and epoch == 1)
+            with trace, (timer if epoch > 0 else contextlib.nullcontext()):
+                state, ms = epoch_fn(state, full_batches)
+                elbos = list(np.asarray(ms["elbo"]))
+                losses = list(np.asarray(ms["recon"]))
             steps_done += n_full
             if tail_batch is not None:
                 step = step_vae if use_vae_pass else step_svgpvae
@@ -545,6 +556,9 @@ def run_svgpvae(args) -> dict:
     run_steps = steps_done - start_steps
     print(f"total: {run_steps} steps, {elapsed:.1f}s "
           f"({run_steps / max(elapsed, 1e-9):.2f} steps/s)")
+    print(f"train-step timing (excl. compile/eval): {timer.summary()}")
+    if args.profile_dir:
+        print(f"profiler trace written to {args.profile_dir}")
 
     result = {"steps_per_sec": run_steps / max(elapsed, 1e-9),
               "state": state}
@@ -644,10 +658,14 @@ def run_svigp(args) -> dict:
     steps_done = 0
     t_start = time.time()
     recon_images_cgen = None
+    timer = utils.StepTimer(steps_per_block=n_full)
     for epoch in range(args.nr_epochs):
-        state, ms = epoch_fn(state, full_batches)
-        elbos = list(np.asarray(ms["elbo"]))
-        losses = list(np.asarray(ms["recon"]))
+        trace = utils.trace_if(args.profile_dir or "",
+                               enabled=bool(args.profile_dir) and epoch == 1)
+        with trace, (timer if epoch > 0 else contextlib.nullcontext()):
+            state, ms = epoch_fn(state, full_batches)
+            elbos = list(np.asarray(ms["elbo"]))
+            losses = list(np.asarray(ms["recon"]))
         steps_done += n_full
         if tail_batch is not None:
             state, m = step_fn(state, tail_batch)
@@ -681,6 +699,7 @@ def run_svigp(args) -> dict:
                                       steps_done)
 
     elapsed = time.time() - t_start
+    print(f"train-step timing (excl. compile/eval): {timer.summary()}")
     result = {"steps_per_sec": steps_done / max(elapsed, 1e-9),
               "state": state}
     if cgen_history:
@@ -837,12 +856,16 @@ def run_casale(args) -> dict:
     steps_done = 0
     t_start = time.time()
     current_params = params
+    timer = utils.StepTimer(steps_per_block=n_full)
     for epoch in range(nr_epochs):
         r = regime[epoch]
         state = states[r].replace(params=current_params)
-        state, ms = epochs[r](state, full_batches)
-        elbos = list(np.asarray(ms["elbo"]))
-        losses = list(np.asarray(ms["recon"]))
+        trace = utils.trace_if(args.profile_dir or "",
+                               enabled=bool(args.profile_dir) and epoch == 1)
+        with trace, (timer if epoch > 0 else contextlib.nullcontext()):
+            state, ms = epochs[r](state, full_batches)
+            elbos = list(np.asarray(ms["elbo"]))
+            losses = list(np.asarray(ms["recon"]))
         steps_done += n_full
         if tail_batch is not None:
             state, m = steps[r](state, tail_batch)
@@ -871,6 +894,7 @@ def run_casale(args) -> dict:
                                       steps_done)
 
     elapsed = time.time() - t_start
+    print(f"train-step timing (excl. compile/eval): {timer.summary()}")
     result = {"steps_per_sec": steps_done / max(elapsed, 1e-9)}
     if cgen_history:
         best = min(cgen_history, key=lambda x: x[1])

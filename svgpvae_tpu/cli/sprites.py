@@ -15,6 +15,7 @@ The raw SPRITES corpus (external repo) is not shipped here; pass
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import pickle
 import time
@@ -66,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--PCA", action="store_true")
     p.add_argument("--N_context", type=int, default=36)
     p.add_argument("--test_set_metrics", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of one post-warmup "
+                        "epoch to this directory (view with xprof)")
     p.add_argument("--clip_grad", action="store_true")
     p.add_argument("--repr_nn_pretrain", type=str, default="yes_joint",
                    choices=["no", "yes_fixed", "yes_joint"])
@@ -388,11 +392,15 @@ def run_experiment(args) -> dict:
     cgen_history = []
     steps_done = start_steps = int(state.step)  # nonzero on resume
     t_start = time.time()
+    timer = utils.StepTimer(steps_per_block=n_full)
     for epoch in range(nr_epochs):
         t_epoch = time.time()
-        state, ms = epoch_fn(state, main_batches)
-        elbos = list(np.asarray(ms["elbo"]))
-        losses = list(np.asarray(ms["recon"]))
+        trace = utils.trace_if(args.profile_dir or "",
+                               enabled=bool(args.profile_dir) and epoch == 1)
+        with trace, (timer if epoch > 0 else contextlib.nullcontext()):
+            state, ms = epoch_fn(state, main_batches)
+            elbos = list(np.asarray(ms["elbo"]))
+            losses = list(np.asarray(ms["recon"]))
         steps_done += n_full
         if tail_n:
             batch = (train_frames_dev[-tail_n:], train_action_dev[-tail_n:])
@@ -521,6 +529,7 @@ def run_experiment(args) -> dict:
     run_steps = steps_done - start_steps
     print(f"total: {run_steps} steps in {elapsed:.1f}s "
           f"({run_steps / max(elapsed, 1e-9):.2f} steps/s)")
+    print(f"train-step timing (excl. compile/eval): {timer.summary()}")
     for s in savers.values():
         s.flush()
     if run_dir and args.save_model_weights:

@@ -40,9 +40,16 @@ def annotate(name: str):
 
 
 class StepTimer:
-    """Wall-clock accumulator with percentile summary."""
+    """Wall-clock accumulator with percentile summary.
 
-    def __init__(self):
+    `steps_per_block` scales the report when each timed block covers more
+    than one optimizer step (e.g. a whole-epoch lax.scan runner — time the
+    block that both dispatches AND materializes a metric, since dispatch
+    alone returns before the device finishes).
+    """
+
+    def __init__(self, steps_per_block: int = 1):
+        self.steps_per_block = steps_per_block
         self.times: List[float] = []
         self._t0: Optional[float] = None
 
@@ -57,12 +64,16 @@ class StepTimer:
     def summary(self) -> str:
         if not self.times:
             return "no steps timed"
-        arr = np.asarray(self.times) * 1e3
-        return (f"{len(arr)} steps: mean {arr.mean():.2f} ms, "
-                f"p50 {np.percentile(arr, 50):.2f} ms, "
-                f"p95 {np.percentile(arr, 95):.2f} ms, "
+        arr = np.asarray(self.times) * 1e3 / self.steps_per_block
+        unit = ("step" if self.steps_per_block == 1
+                else f"step (blocks of {self.steps_per_block})")
+        return (f"{len(self.times) * self.steps_per_block} steps: "
+                f"mean {arr.mean():.3f} ms/{unit}, "
+                f"p50 {np.percentile(arr, 50):.3f} ms, "
+                f"p95 {np.percentile(arr, 95):.3f} ms, "
                 f"{1000.0 / arr.mean():.1f} steps/s")
 
     @property
     def steps_per_sec(self) -> float:
-        return len(self.times) / max(sum(self.times), 1e-12)
+        return (len(self.times) * self.steps_per_block
+                / max(sum(self.times), 1e-12))
