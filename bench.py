@@ -59,6 +59,14 @@ PEAK_FLOPS = (  # bf16 MXU peak per chip, by device_kind substring
     ("v6", 918.0e12),
 )
 
+PEAK_HBM_BPS = (  # HBM bandwidth per chip (bytes/s)
+    ("v5 lite", 819.0e9),
+    ("v5e", 819.0e9),
+    ("v5p", 2765.0e9),
+    ("v4", 1228.0e9),
+    ("v6", 1640.0e9),
+)
+
 
 def _baseline_step_sec() -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -95,31 +103,49 @@ def _watchdog(seconds: int = 540):
     signal.alarm(seconds)
 
 
-def _peak_flops():
+def _lookup(table):
     import jax
     kind = jax.devices()[0].device_kind.lower()
-    for sub, peak in PEAK_FLOPS:
+    for sub, peak in table:
         if sub in kind:
             return peak
-    return None  # CPU / unknown: no MFU
+    return None  # CPU / unknown
 
 
-def _flops_of(jitted, *args) -> float | None:
-    """XLA's own FLOP count for one call of a jitted fn (logical FLOPs —
-    each f32-highest multi-pass matmul counts once)."""
+def _peak_flops():
+    return _lookup(PEAK_FLOPS)
+
+
+def _cost_of(jitted, *args) -> tuple[float | None, float | None]:
+    """XLA's own (flops, bytes accessed) for one call of a jitted fn.
+    FLOPs are logical (each f32-highest multi-pass matmul counts once);
+    bytes are XLA's post-fusion memory-traffic estimate."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost["flops"])
+        return float(cost["flops"]), float(cost.get("bytes accessed", 0.0))
     except Exception:
-        return None
+        return None, None
+
+
+def _flops_of(jitted, *args) -> float | None:
+    return _cost_of(jitted, *args)[0]
 
 
 def _mfu(flops_per_call, calls_per_sec, peak):
     if flops_per_call is None or peak is None:
         return None
     return round(flops_per_call * calls_per_sec / peak, 5)
+
+
+def _hbm_util(bytes_per_call, calls_per_sec):
+    """Achieved HBM traffic / peak bandwidth — the speed-of-light axis for
+    these small-model workloads (they are bandwidth-, not MXU-bound)."""
+    peak = _lookup(PEAK_HBM_BPS)
+    if not bytes_per_call or peak is None:
+        return None
+    return round(bytes_per_call * calls_per_sec / peak, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +199,7 @@ def bench_mnist(peak):
     state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
     epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
 
-    flops_epoch = _flops_of(epoch_fn, state, batches)
+    flops_epoch, bytes_epoch = _cost_of(epoch_fn, state, batches)
 
     state, metrics = epoch_fn(state, batches)  # warmup / compile
     float(metrics["recon"][-1])
@@ -193,6 +219,7 @@ def bench_mnist(peak):
         "ms_per_step": round(1e3 / steps_per_sec, 4),
         "flops_per_step": flops_step,
         "mfu": _mfu(flops_epoch, reps / elapsed, peak),
+        "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
         "config": f"batch {b}, 28x28x1, L{L}, M{M}, m{m}, GECO, epoch-scan",
     }
 
@@ -247,7 +274,7 @@ def bench_sprites_train(peak):
     state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
     epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
 
-    flops_epoch = _flops_of(epoch_fn, state, batches)
+    flops_epoch, bytes_epoch = _cost_of(epoch_fn, state, batches)
     state, metrics = epoch_fn(state, batches)
     float(metrics["recon"][-1])
 
@@ -265,6 +292,7 @@ def bench_sprites_train(peak):
         "ms_per_step": round(1e3 / steps_per_sec, 3),
         "flops_per_step": flops_epoch / n_batches if flops_epoch else None,
         "mfu": _mfu(flops_epoch, reps / elapsed, peak),
+        "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
         "config": f"batch {b}, 64x64x3, L{L}, m{n_actions}, GECO, epoch-scan",
     }
 
@@ -343,7 +371,7 @@ def bench_ball(peak):
     chunk_fn = train.make_generative_chunk_fn(loss_fn, tx, video_fn, chunk,
                                               donate=False)
     dkey = jax.random.PRNGKey(1)
-    flops_chunk = _flops_of(chunk_fn, state, dkey)
+    flops_chunk, bytes_chunk = _cost_of(chunk_fn, state, dkey)
 
     state, dkey, ms = chunk_fn(state, dkey)
     float(ms["elbo"][-1])
@@ -361,6 +389,7 @@ def bench_ball(peak):
         "ms_per_step": round(1e3 / steps_per_sec, 4),
         "flops_per_step": flops_chunk / chunk if flops_chunk else None,
         "mfu": _mfu(flops_chunk, reps / elapsed, peak),
+        "hbm_util": _hbm_util(bytes_chunk, reps / elapsed),
         "config": f"batch {batch}, T={tmax}, 32x32, m{m}, on-device video gen, "
                   f"{chunk}-step chunks",
     }
