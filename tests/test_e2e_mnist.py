@@ -1,0 +1,45 @@
+"""Golden-metric regression for the north-star MNIST path (SURVEY §4:
+"golden-metric regression runs on the shipped MNIST pickles").
+
+Runs the real CLI driver (dataset bootstrap -> SVGPVAE_Hensman + GECO
+training -> eval/cgen pipeline) for a few epochs on CPU and pins the
+metrics to the bands a healthy build produces.  Catches numerics
+regressions in the full composition that unit parity tests can miss.
+"""
+
+import numpy as np
+import pytest
+
+from svgpvae_tpu.cli import mnist as mnist_cli
+
+# module-scoped dataset dir: generated once, ~5 s
+_DATA = None
+
+
+@pytest.fixture(scope="module")
+def mnist_data(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("mnist_data"))
+
+
+def _run(mnist_data, extra):
+    args = mnist_cli.build_parser().parse_args([
+        "--elbo", "SVGPVAE_Hensman", "--GECO", "--PCA", "--clip_qs",
+        "--ip_joint", "--GP_joint", "--ov_joint",
+        "--mnist_data_path", mnist_data, *extra])
+    mnist_cli.ensure_dataset(args)
+    return mnist_cli.run_svgpvae(args)
+
+
+def test_north_star_three_epochs_golden(mnist_data):
+    out = _run(mnist_data,
+               ["--opt_regime", "joint-3", "--eval_every", "3"])
+    # smoke-run reference point on this derived dataset: cgen MSE ~0.116
+    # after 3 epochs (epoch 2 eval), steadily below 0.15 across seeds
+    assert "best_cgen_mse" in out
+    assert np.isfinite(out["best_cgen_mse"])
+    assert out["best_cgen_mse"] < 0.15, out["best_cgen_mse"]
+    # GECO state must have moved off its init and stayed finite
+    geco = out["state"].geco
+    assert np.isfinite(float(geco.C_ma)) and float(geco.C_ma) != 0.0
+    assert np.isfinite(float(geco.lagrange_mult))
+    assert float(geco.lagrange_mult) > 1.0  # constraint unmet this early
