@@ -414,7 +414,7 @@ def bench_batch_scaling(peak):
     ip = np.hstack([np.arange(m)[:, None], rng.rand(m, 1) * 2 * np.pi,
                     rng.randn(m, M)])
     rows = {}
-    for b in (256, 512, 1024, 2048, 4096):
+    for b in (256, 1024, 4096):
         gp = gpm.init_mnist_svgp(
             ip, rng.randn(n_obj, M),
             config=SVGPConfig(jitter=1e-6, N_train=16 * b))
@@ -460,6 +460,8 @@ def bench_batch_scaling(peak):
             "images_per_sec": round(sps * b, 0),
             "mfu": _mfu(flops_chunk, reps / elapsed, peak),
         }
+        print(f"# scaling b={b}: {json.dumps(rows[str(b)])}",
+              file=sys.stderr, flush=True)
     return rows
 
 
@@ -467,7 +469,7 @@ def bench_batch_scaling(peak):
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
-    _watchdog(900 if scaling else 540)
+    _watchdog(2100 if scaling else 780)
     import jax
 
     peak = _peak_flops()
@@ -476,10 +478,12 @@ def main() -> None:
                      ("sprites_train", lambda: bench_sprites_train(peak)),
                      ("sprites_precompute", bench_sprites_precompute),
                      ("ball_train", lambda: bench_ball(peak))):
+        t0 = time.perf_counter()
         try:
             suite[name] = fn()
         except Exception as e:  # keep the primary metric printable
             suite[name] = {"error": f"{type(e).__name__}: {e}"}
+        suite[name]["wall_s"] = round(time.perf_counter() - t0, 1)
         print(f"# {name}: {json.dumps(suite[name])}", file=sys.stderr,
               flush=True)
 
