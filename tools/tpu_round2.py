@@ -68,7 +68,7 @@ def main():
           "--clip_qs", "--mnist_data_path", MNIST]
 
     jobs = [
-        ("bench", [py, os.path.join(ROOT, "bench.py"), "--scaling"], 1500),
+        ("bench", [py, os.path.join(ROOT, "bench.py"), "--scaling"], 2400),
         ("profile", [py, os.path.join(ROOT, "tools", "profile_step.py")],
          1200),
         ("titsias1k", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
