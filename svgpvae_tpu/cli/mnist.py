@@ -879,6 +879,11 @@ def run_casale(args) -> dict:
             print(f"epoch {epoch} ({r}): mean ELBO/batch "
                   f"{np.mean(elbos):.3f}, train MSE "
                   f"{np.sum(losses) / N_train:.5f}")
+            gp_p = current_params["gp"]
+            print(f"  GP params: l={float(gp_p.length_scale):.4f} "
+                  f"amp={float(gp_p.amplitude):.4f} "
+                  f"alpha={float(gp_p.alpha):.5f} "
+                  f"|ov|={float(jnp.linalg.norm(gp_p.object_vectors)):.3f}")
             recon, cgen_loss = cgen_fn(current_params,
                                        jax.random.fold_in(key, epoch))
             cgen_history.append((epoch, float(cgen_loss)))

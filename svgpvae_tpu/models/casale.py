@@ -98,16 +98,24 @@ def predict_cgen_casale(vae, vae_params, gp: CasaleGP, test_images: Array,
     """
     L = latent_train.shape[1]
 
-    K_tt = casale_kernel_matrix(gp, test_aux, train_aux[:, 1:])  # (x, N)
-    K_inv = casale_k_inv(V, gp.alpha)  # (N, N)
+    # the N-sized predictive solves are cancellation-heavy; keep them at
+    # full matmul precision even when the global default is relaxed for
+    # the conv nets (bf16 passes here push cgen MSE from ~0.05 to >1)
+    @linalg.precise
+    def posterior_mean_var():
+        K_tt = casale_kernel_matrix(gp, test_aux, train_aux[:, 1:])  # (x, N)
+        K_inv = casale_k_inv(V, gp.alpha)  # (N, N)
+        mean = K_tt @ (K_inv @ latent_train)  # (x, L)
+        if take_mean:
+            return mean, None
+        K_xx = casale_kernel_matrix(gp, test_aux, test_aux)
+        cov = K_xx - K_tt @ (K_inv @ K_tt.T)
+        return mean, jnp.diag(cov)  # var same across channels (ref :193)
 
-    mean = K_tt @ (K_inv @ latent_train)  # (x, L)
+    mean, var = posterior_mean_var()
     if take_mean:
         latent_test = mean
     else:
-        K_xx = casale_kernel_matrix(gp, test_aux, test_aux)
-        cov = K_xx - K_tt @ (K_inv @ K_tt.T)
-        var = jnp.diag(cov)  # same across channels (reference :193)
         eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
         latent_test = mean + eps * linalg.stable_sqrt(
             jnp.tile(var[:, None], (1, L)))
