@@ -119,7 +119,15 @@ def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
     K_w = kernels.exp_sin_squared_matrix(
         unique_angles[:, None], unique_angles[:, None], gp.amplitude,
         gp.length_scale, 2.0 * jnp.pi)
-    L_w = linalg.safe_cholesky(K_w, gp.jitter)
+    # absolute + relative jitter: the angle gram is near-singular in f32
+    # once length_scale grows past ~1 (measured spectrum at Q=15 angles:
+    # lambda_min 2.7e-6 at l=1.03, 2e-8 at l=1.5, vs f32 roundoff
+    # lambda_max*eps ~ 1e-6), and a failed Cholesky here propagates NaN
+    # through V into every GP gradient.  The reference survives only
+    # because it runs this factorization in float64
+    # (GPVAE_Casale_model.py:300-303).  Same pattern as svgp._sigma_cholesky.
+    diag_scale = jnp.mean(jnp.diagonal(K_w))
+    L_w = linalg.safe_cholesky(K_w, gp.jitter + 1e-5 * diag_scale)
 
     V_tilde = kron(ov, L_w)  # (P*Q, M*Q)
     # the mask is a host-side constant of the sorted train layout, so rows
@@ -141,8 +149,10 @@ def casale_k_inv(V: Array, alpha) -> Array:
     """
     N, H = V.shape
     dtype = V.dtype
+    alpha = jnp.maximum(alpha, 1e-5)  # f32 guard: 1/alpha and the ridge
     inner = alpha * jnp.eye(H, dtype=dtype) + V.T @ V
-    inner_chol = jnp.linalg.cholesky(inner)
+    inner_chol = linalg.safe_cholesky(
+        inner, 1e-7 * jnp.trace(inner) / H)
     sol = linalg.cho_solve(inner_chol, V.T)  # (H, N)
     return (jnp.eye(N, dtype=dtype) - V @ sol) / alpha
 
@@ -151,8 +161,10 @@ def casale_k_inv(V: Array, alpha) -> Array:
 def apply_k_inv(V: Array, alpha, rhs: Array) -> Array:
     """K^{-1} @ rhs without materializing the (N, N) inverse."""
     H = V.shape[1]
+    alpha = jnp.maximum(alpha, 1e-5)
     inner = alpha * jnp.eye(H, dtype=V.dtype) + V.T @ V
-    inner_chol = jnp.linalg.cholesky(inner)
+    inner_chol = linalg.safe_cholesky(
+        inner, 1e-7 * jnp.trace(inner) / H)
     return (rhs - V @ linalg.cho_solve(inner_chol, V.T @ rhs)) / alpha
 
 

@@ -109,11 +109,13 @@ def test_casale_k_inv_woodbury():
     alpha = 0.3
     K_inv = gpm.casale_k_inv(jnp.asarray(V), alpha)
     want = np.linalg.inv(V @ V.T + alpha * np.eye(len(V)))
-    np.testing.assert_allclose(np.asarray(K_inv), want, atol=1e-8)
+    # atol covers the 1e-7-relative stabilizing ridge on the inner matrix
+    # (gp/casale.py casale_k_inv), which perturbs the inverse by ~3e-7
+    np.testing.assert_allclose(np.asarray(K_inv), want, atol=1e-5)
 
     rhs = RNG.randn(len(V), 2)
     got = apply_k_inv(jnp.asarray(V), alpha, jnp.asarray(rhs))
-    np.testing.assert_allclose(np.asarray(got), want @ rhs, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got), want @ rhs, atol=1e-5)
 
 
 def test_taylor_coeffs_vs_naive_loop():
