@@ -98,8 +98,9 @@ def test_v_matrix_low_rank_structure():
     aux = np.hstack([ids[:, None].astype(float), angs[:, None],
                      np.zeros((N, 1))])
     K = gpm.casale_kernel_matrix(gp, jnp.asarray(aux), jnp.asarray(aux))
-    # V carries the chol of the jittered view kernel -> diffs at jitter scale
-    np.testing.assert_allclose(np.asarray(V @ V.T), np.asarray(K), atol=1e-5)
+    # V carries the chol of the jittered view kernel (1e-5 mean-diagonal
+    # relative jitter, gp/casale.py v_matrix) -> diffs at jitter scale
+    np.testing.assert_allclose(np.asarray(V @ V.T), np.asarray(K), atol=5e-5)
 
 
 def test_casale_k_inv_woodbury():
@@ -131,14 +132,15 @@ def test_taylor_coeffs_vs_naive_loop():
 
     K_inv = np.linalg.inv(V @ V.T + 0.3 * np.eye(N))
     K_inv_V = K_inv @ V
-    np.testing.assert_allclose(np.asarray(a), Z.T @ K_inv, atol=1e-8)
+    # atol covers the 1e-7-relative stabilizing ridge in casale_k_inv
+    np.testing.assert_allclose(np.asarray(a), Z.T @ K_inv, atol=1e-5)
     for l in range(L):
         z = Z[:, l:l + 1]
         want_B = -K_inv @ z @ (z.T @ K_inv_V) + K_inv_V
         want_c = 0.5 * (-(z.T @ K_inv @ K_inv @ z).item()
                         + np.trace(K_inv))
-        np.testing.assert_allclose(np.asarray(B[l]), want_B, atol=1e-7)
-        np.testing.assert_allclose(np.asarray(c[l]), want_c, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(B[l]), want_B, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c[l]), want_c, atol=1e-4)
 
 
 # ---------------------------------------------------------------------------
