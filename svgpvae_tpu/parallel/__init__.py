@@ -3,6 +3,7 @@ from svgpvae_tpu.parallel.mesh import (  # noqa: F401
     MODEL_AXIS,
     make_mesh,
     shard_batch,
+    shard_stacked_batches,
     replicate,
     data_parallel_jit,
     sharded_posterior_params,

@@ -74,6 +74,18 @@ def replicate(mesh: Mesh, tree):
         lambda x: jax.device_put(jnp.array(x, copy=True), sharding), tree)
 
 
+def shard_stacked_batches(mesh: Mesh, batches, axis_name: str = DATA_AXIS):
+    """Place a pre-batched dataset pytree (leaves stacked as
+    (n_batches, b, ...)) with the PER-BATCH axis sharded over the mesh —
+    the input layout of `train.make_epoch_fn` under data parallelism.
+    The scan axis (n_batches) stays unsharded; each scanned step then
+    runs SPMD over the batch axis exactly like the per-step path."""
+    def put(x):
+        spec = P(None, axis_name, *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batches)
+
+
 def data_parallel_jit(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Wrap a (state, batch) -> (state, metrics) step for data parallelism.
 

@@ -227,3 +227,37 @@ def test_data_parallel_multistep_state_equivalence():
     for a, b_ in zip(jax.tree_util.tree_leaves(state.opt_state),
                      jax.tree_util.tree_leaves(state_r.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_data_parallel_epoch_scan_matches_single_device():
+    """The whole-epoch lax.scan runner under a data mesh: per-batch axis
+    sharded via shard_stacked_batches, state replicated; two epochs must
+    reproduce the single-device loss trajectory and GECO state."""
+    vae, params, batch, loss_fn = _tiny_svgpvae(b=16)
+    images, aux = batch
+    batches = (jnp.stack([images, images[::-1]]),
+               jnp.stack([aux, aux[::-1]]))
+    tx = train.make_optimizer(1e-3)
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=False)
+
+    state = train.TrainState.create(params, tx, KEY)
+    ref_losses = []
+    for _ in range(2):
+        state, ms = epoch_fn(state, batches)
+        ref_losses.extend(np.asarray(ms["loss"]))
+
+    mesh = parallel.make_mesh(8)
+    state_dp = parallel.replicate(mesh, train.TrainState.create(params, tx,
+                                                                KEY))
+    batches_dp = parallel.shard_stacked_batches(mesh, batches)
+    dp_losses = []
+    for _ in range(2):
+        state_dp, ms = epoch_fn(state_dp, batches_dp)
+        dp_losses.extend(np.asarray(ms["loss"]))
+
+    np.testing.assert_allclose(dp_losses, ref_losses, rtol=5e-4)
+    np.testing.assert_allclose(float(state_dp.geco.C_ma),
+                               float(state.geco.C_ma), rtol=5e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state.params),
+                     jax.tree_util.tree_leaves(state_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
