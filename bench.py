@@ -129,6 +129,21 @@ def _cost_of(jitted, *args) -> tuple[float | None, float | None]:
         return None, None
 
 
+def _aot(jitted, *args):
+    """(callable, flops, bytes): compile ONCE ahead of time and reuse the
+    executable for both cost analysis and the timed loop (a separate
+    jitted call would compile the program a second time)."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return (compiled, float(cost["flops"]),
+                float(cost.get("bytes accessed", 0.0)))
+    except Exception:
+        return jitted, None, None
+
+
 def _flops_of(jitted, *args) -> float | None:
     return _cost_of(jitted, *args)[0]
 
@@ -168,7 +183,11 @@ def bench_mnist(peak):
     if SMOKE:
         b, n_batches = 32, 2
 
-    vae = nets.MnistVAE(L=L)
+    # BENCH_BF16=1 runs the conv nets in bfloat16 (the drivers' --bf16
+    # mode; GP math stays f32 via the scoped linalg.precise)
+    net_dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") == "1" \
+        else jnp.float32
+    vae = nets.MnistVAE(L=L, dtype=net_dtype)
     vae_params = vae.init(key, jnp.zeros((b, 28, 28, 1)))
     ip = np.hstack([np.arange(m)[:, None], rng.rand(m, 1) * 2 * np.pi,
                     rng.randn(m, M)])
@@ -199,9 +218,9 @@ def bench_mnist(peak):
     state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
     epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
 
-    flops_epoch, bytes_epoch = _cost_of(epoch_fn, state, batches)
+    epoch_fn, flops_epoch, bytes_epoch = _aot(epoch_fn, state, batches)
 
-    state, metrics = epoch_fn(state, batches)  # warmup / compile
+    state, metrics = epoch_fn(state, batches)  # warmup
     float(metrics["recon"][-1])
 
     reps = 2 if SMOKE else 20
@@ -274,7 +293,7 @@ def bench_sprites_train(peak):
     state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
     epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
 
-    flops_epoch, bytes_epoch = _cost_of(epoch_fn, state, batches)
+    epoch_fn, flops_epoch, bytes_epoch = _aot(epoch_fn, state, batches)
     state, metrics = epoch_fn(state, batches)
     float(metrics["recon"][-1])
 
@@ -371,7 +390,7 @@ def bench_ball(peak):
     chunk_fn = train.make_generative_chunk_fn(loss_fn, tx, video_fn, chunk,
                                               donate=False)
     dkey = jax.random.PRNGKey(1)
-    flops_chunk, bytes_chunk = _cost_of(chunk_fn, state, dkey)
+    chunk_fn, flops_chunk, bytes_chunk = _aot(chunk_fn, state, dkey)
 
     state, dkey, ms = chunk_fn(state, dkey)
     float(ms["elbo"][-1])
@@ -444,7 +463,7 @@ def bench_batch_scaling(peak):
         chunk = 50
         chunk_fn = train.make_generative_chunk_fn(loss_fn, tx, sample_fn,
                                                   chunk, donate=False)
-        flops_chunk = _flops_of(chunk_fn, state, key)
+        chunk_fn, flops_chunk, _ = _aot(chunk_fn, state, key)
         dkey = jax.random.PRNGKey(1)
         state, dkey, ms = chunk_fn(state, dkey)
         float(ms["recon"][-1])
@@ -473,11 +492,14 @@ def main() -> None:
     import jax
 
     peak = _peak_flops()
+    only = os.environ.get("BENCH_ONLY")  # comma-separated workload filter
     suite = {}
     for name, fn in (("mnist_train", lambda: bench_mnist(peak)),
                      ("sprites_train", lambda: bench_sprites_train(peak)),
                      ("sprites_precompute", bench_sprites_precompute),
                      ("ball_train", lambda: bench_ball(peak))):
+        if only and name not in only.split(","):
+            continue
         t0 = time.perf_counter()
         try:
             suite[name] = fn()
@@ -498,7 +520,8 @@ def main() -> None:
         "peak_flops_bf16": peak,
         "suite": suite,
     }
-    if steps_per_sec > 0 and not SMOKE:
+    nonstandard = SMOKE or only or os.environ.get("BENCH_BF16")
+    if steps_per_sec > 0 and not nonstandard:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LAST_GOOD.json"), "w") as f:
             json.dump(result, f)
