@@ -116,23 +116,12 @@ def _peak_flops():
     return _lookup(PEAK_FLOPS)
 
 
-def _cost_of(jitted, *args) -> tuple[float | None, float | None]:
-    """XLA's own (flops, bytes accessed) for one call of a jitted fn.
-    FLOPs are logical (each f32-highest multi-pass matmul counts once);
-    bytes are XLA's post-fusion memory-traffic estimate."""
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost["flops"]), float(cost.get("bytes accessed", 0.0))
-    except Exception:
-        return None, None
-
-
 def _aot(jitted, *args):
     """(callable, flops, bytes): compile ONCE ahead of time and reuse the
     executable for both cost analysis and the timed loop (a separate
-    jitted call would compile the program a second time)."""
+    jitted call would compile the program a second time).  FLOPs are
+    XLA's logical count (each f32-highest multi-pass matmul counts once);
+    bytes are its post-fusion memory-traffic estimate."""
     try:
         compiled = jitted.lower(*args).compile()
         cost = compiled.cost_analysis()
@@ -142,10 +131,6 @@ def _aot(jitted, *args):
                 float(cost.get("bytes accessed", 0.0)))
     except Exception:
         return jitted, None, None
-
-
-def _flops_of(jitted, *args) -> float | None:
-    return _cost_of(jitted, *args)[0]
 
 
 def _mfu(flops_per_call, calls_per_sec, peak):
@@ -514,7 +499,7 @@ def main() -> None:
     result = {
         "metric": "svgpvae_mnist_geco_train_steps_per_sec",
         "value": round(steps_per_sec, 3),
-        "unit": "steps/s (batch 256, L16, m32, epoch-scan)",
+        "unit": f"steps/s ({mnist.get('config', 'mnist_train failed')})",
         "vs_baseline": round(steps_per_sec * _baseline_step_sec(), 2),
         "device": jax.devices()[0].device_kind,
         "peak_flops_bf16": peak,

@@ -211,6 +211,9 @@ def run_experiment(args) -> dict:
                                    and chunks_done == 1)
             if chunks_done == 0:
                 state, data_key, metrics = chunk_fn(state, data_key)
+                # materialize so the warmup chunk's execution doesn't
+                # bleed into the first timed/traced chunk
+                float(metrics["loss"][-1])
             else:
                 with trace, timer:
                     state, data_key, metrics = chunk_fn(state, data_key)

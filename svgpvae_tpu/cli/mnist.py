@@ -348,6 +348,7 @@ def run_svgpvae(args) -> dict:
     # per-epoch wall time as a first-class metric (SURVEY §5.1); epoch 0
     # is excluded (compile), and each timed block materializes its metrics
     timer = utils.StepTimer(steps_per_block=n_full)
+    traced_any = False
 
     for epoch in range(nr_epochs):
         use_vae_pass = (not is_svgpvae) or regime[epoch] == "VAE"
@@ -366,10 +367,14 @@ def run_svgpvae(args) -> dict:
                 steps_done += 1
         else:
             epoch_fn = epoch_vae if use_vae_pass else epoch_svgpvae
-            trace = utils.trace_if(args.profile_dir or "",
-                                   enabled=bool(args.profile_dir)
-                                   and epoch == 1)
-            with trace, (timer if epoch > 0 else contextlib.nullcontext()):
+            do_trace = bool(args.profile_dir) and epoch == 1
+            traced_any = traced_any or do_trace
+            trace = utils.trace_if(args.profile_dir or "", enabled=do_trace)
+            # exclude compiles from the timer: epoch 0, and the first
+            # epoch after every opt-regime switch (new epoch_fn program)
+            timed = epoch > 0 and (not is_svgpvae
+                                   or regime[epoch] == regime[epoch - 1])
+            with trace, (timer if timed else contextlib.nullcontext()):
                 state, ms = epoch_fn(state, full_batches)
                 elbos = list(np.asarray(ms["elbo"]))
                 losses = list(np.asarray(ms["recon"]))
@@ -558,7 +563,11 @@ def run_svgpvae(args) -> dict:
           f"({run_steps / max(elapsed, 1e-9):.2f} steps/s)")
     print(f"train-step timing (excl. compile/eval): {timer.summary()}")
     if args.profile_dir:
-        print(f"profiler trace written to {args.profile_dir}")
+        if traced_any:
+            print(f"profiler trace written to {args.profile_dir}")
+        else:
+            print("warning: --profile_dir set but no epoch was traced "
+                  "(needs >= 2 epochs on the scan path)")
 
     result = {"steps_per_sec": run_steps / max(elapsed, 1e-9),
               "state": state}
@@ -862,7 +871,9 @@ def run_casale(args) -> dict:
         state = states[r].replace(params=current_params)
         trace = utils.trace_if(args.profile_dir or "",
                                enabled=bool(args.profile_dir) and epoch == 1)
-        with trace, (timer if epoch > 0 else contextlib.nullcontext()):
+        # first epoch of each regime compiles that regime's program
+        timed = epoch > 0 and r == regime[epoch - 1]
+        with trace, (timer if timed else contextlib.nullcontext()):
             state, ms = epochs[r](state, full_batches)
             elbos = list(np.asarray(ms["elbo"]))
             losses = list(np.asarray(ms["recon"]))

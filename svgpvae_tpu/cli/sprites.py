@@ -379,7 +379,8 @@ def run_experiment(args) -> dict:
                 os.path.join(run_dir, "res", "GP_params.csv"),
                 ["step", "gplvm_norm", "ip_norm", "l_action", "sigma_action",
                  "l_character", "sigma_character"], flush_every=1)
-    if args.test_set_metrics:
+    # only staged when a run dir consumes the stream (savers gate the use)
+    if savers and args.test_set_metrics:
         m_frames, m_aux = next(data.sprites_batch_iterator(test_char_d,
                                                            batch_test_char))
         metrics_batch = (jnp.asarray(m_frames), jnp.asarray(m_aux[:, 1]))

@@ -139,6 +139,17 @@ def v_matrix(gp: CasaleGP, unique_angles: Array, object_ids: Array,
     return jnp.take(V_tilde, idx, axis=0)
 
 
+ALPHA_FLOOR = 1e-5
+
+
+def effective_alpha(alpha):
+    """f32 guard on the latent-GP observation noise, shared by every
+    consumer (Woodbury solves AND the c*alpha Taylor term in
+    forward_pass_casale) so the objective stays internally consistent
+    when the raw parameter is driven to/below zero."""
+    return jnp.maximum(alpha, ALPHA_FLOOR)
+
+
 @linalg.precise
 def casale_k_inv(V: Array, alpha) -> Array:
     """Woodbury inverse K^{-1} = (1/a) I - (1/a) V (a I + V^T V)^{-1} V^T.
@@ -149,7 +160,7 @@ def casale_k_inv(V: Array, alpha) -> Array:
     """
     N, H = V.shape
     dtype = V.dtype
-    alpha = jnp.maximum(alpha, 1e-5)  # f32 guard: 1/alpha and the ridge
+    alpha = effective_alpha(alpha)
     inner = alpha * jnp.eye(H, dtype=dtype) + V.T @ V
     inner_chol = linalg.safe_cholesky(
         inner, 1e-7 * jnp.trace(inner) / H)
@@ -161,7 +172,7 @@ def casale_k_inv(V: Array, alpha) -> Array:
 def apply_k_inv(V: Array, alpha, rhs: Array) -> Array:
     """K^{-1} @ rhs without materializing the (N, N) inverse."""
     H = V.shape[1]
-    alpha = jnp.maximum(alpha, 1e-5)
+    alpha = effective_alpha(alpha)
     inner = alpha * jnp.eye(H, dtype=V.dtype) + V.T @ V
     inner_chol = linalg.safe_cholesky(
         inner, 1e-7 * jnp.trace(inner) / H)

@@ -16,7 +16,7 @@ from jax import Array
 
 from svgpvae_tpu import linalg
 from svgpvae_tpu.gp.casale import (CasaleGP, casale_kernel_matrix,
-                                   casale_k_inv)
+                                   casale_k_inv, effective_alpha)
 
 QVAR_CLIP = (1e-3, 100.0)  # reference: GPVAE_Casale_model.py:87, 124
 
@@ -72,7 +72,7 @@ def forward_pass_casale(vae, vae_params, gp: CasaleGP, batch, key,
 
     gp_prior_term = (jnp.sum(latent * a_batch.T)
                      + jnp.sum(B_batch * V_batch[None])
-                     + jnp.sum(c) * gp.alpha)
+                     + jnp.sum(c) * effective_alpha(gp.alpha))
 
     recon_images = vae.apply(vae_params, latent, method=vae.decode)
     recon_sum = jnp.sum((images - recon_images) ** 2)

@@ -12,10 +12,6 @@ import pytest
 
 from svgpvae_tpu.cli import mnist as mnist_cli
 
-# module-scoped dataset dir: generated once, ~5 s
-_DATA = None
-
-
 @pytest.fixture(scope="module")
 def mnist_data(tmp_path_factory):
     return str(tmp_path_factory.mktemp("mnist_data"))

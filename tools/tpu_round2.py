@@ -38,13 +38,30 @@ def run(name, cmd, timeout):
     env = dict(os.environ, PYTHONUNBUFFERED="1")
     t0 = time.time()
     with open(log, "w") as f:
+        # graceful on timeout: SIGINT -> grace -> SIGKILL.  Hard-killing a
+        # job mid-device-call wedges the tunnel's remote grant (CLAUDE.md),
+        # which would silently corrupt every later job in the queue; the
+        # interrupt gives jax a chance to tear the session down, and the
+        # longer post-kill sleep lets a wedged grant expire.
+        p = subprocess.Popen(cmd, env=env, stdout=f,
+                             stderr=subprocess.STDOUT)
+        killed = False
         try:
-            r = subprocess.run(cmd, env=env, timeout=timeout, stdout=f,
-                               stderr=subprocess.STDOUT)
-            code = r.returncode
+            code = p.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
-            code = -9
+            import signal as _signal
+            p.send_signal(_signal.SIGINT)
+            try:
+                code = p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                code = p.wait()
+                killed = True
     dt = time.time() - t0
+    if killed:
+        print(f":: [{name}] hard-killed after timeout; sleeping 300s for "
+              "the device grant to clear", flush=True)
+        time.sleep(300)
     tail = ""
     try:
         with open(log) as f:
