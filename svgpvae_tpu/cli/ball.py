@@ -227,6 +227,8 @@ def run_experiment(args) -> dict:
 
         if g_s % args.eval_every == 0:
             out = eval_fn(state.params, td0, eval_key)
+            utils.check_finite([float(jnp.mean(out.elbo))], g_s, state,
+                               run_dir)
             _, _, mse, _ = utils.mse_rotation(np.asarray(out.p_m), tt0,
                                               np.asarray(out.p_v))
             last_mse = mse

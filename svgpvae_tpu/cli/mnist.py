@@ -386,6 +386,8 @@ def run_svgpvae(args) -> dict:
                 losses.append(float(m["recon"]))
                 steps_done += 1
 
+        utils.check_finite(elbos, steps_done, state, run_dir)
+
         if args.bias_analysis and mean_vectors_epoch:
             full_mv = gpm.mean_vector_bias_analysis(
                 state.params["gp"], aux_train_full,
@@ -681,6 +683,7 @@ def run_svigp(args) -> dict:
             elbos.append(float(m["elbo"]))
             losses.append(float(m["recon"]))
             steps_done += 1
+        utils.check_finite(elbos, steps_done, state, run_dir)
 
         if (epoch + 1) % args.eval_every == 0:
             print(f"epoch {epoch}: mean ELBO/batch {np.mean(elbos):.3f}, "
@@ -885,6 +888,7 @@ def run_casale(args) -> dict:
             steps_done += 1
         states[r] = state
         current_params = state.params
+        utils.check_finite(elbos, steps_done, state, run_dir)
 
         if (epoch + 1) % 5 == 0:
             print(f"epoch {epoch} ({r}): mean ELBO/batch "

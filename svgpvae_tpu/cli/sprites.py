@@ -409,6 +409,7 @@ def run_experiment(args) -> dict:
             elbos.append(float(m["elbo"]))
             losses.append(float(m["recon"]))
             steps_done += 1
+        utils.check_finite(elbos, steps_done, state, run_dir)
         print(f"epoch {epoch}: mean ELBO/batch {np.mean(elbos):.3f}, "
               f"train MSE {np.sum(losses) / N_train:.5f}, "
               f"{time.time() - t_epoch:.2f}s")

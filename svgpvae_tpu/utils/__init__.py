@@ -2,6 +2,8 @@ from svgpvae_tpu.utils.metrics import (  # noqa: F401
     mse_rotation,
     ResultSaver,
     count_params,
+    check_finite,
+    NonFiniteLossError,
 )
 from svgpvae_tpu.utils.rundir import (  # noqa: F401
     make_checkpoint_folder,

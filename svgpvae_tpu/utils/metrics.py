@@ -121,3 +121,36 @@ def count_params(params, print_shapes: bool = False) -> int:
         if print_shapes:
             print(np.shape(leaf), n)
     return total
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised by `check_finite` when a training metric goes NaN/inf."""
+
+
+def check_finite(values, step: int, state=None, run_dir: str = None,
+                 context: str = "train"):
+    """Fail-fast NaN/inf sentinel for training loops (SURVEY.md §5.3).
+
+    The reference has no failure detection: a NaN silently poisons every
+    later epoch (observed on the Casale GP phase, RESULTS.md round 2 —
+    90 epochs of NaN metrics after one bad Cholesky).  Drivers call this
+    on each epoch's aggregated metrics; on the first non-finite value it
+    saves an emergency checkpoint of the LAST state (when a run dir and
+    state are available) and raises, so the failure is loud and the
+    most recent parameters are preserved for diagnosis.
+    """
+    import numpy as _np
+
+    arr = _np.asarray(values, dtype=_np.float64)
+    if _np.all(_np.isfinite(arr)):
+        return
+    msg = (f"non-finite {context} metric at step {step}: "
+           f"{int(_np.size(arr) - _np.isfinite(arr).sum())}/{arr.size} "
+           "bad values")
+    if run_dir is not None and state is not None:
+        from svgpvae_tpu.utils import checkpoint as _ckpt
+        import os as _os
+        path = _os.path.join(run_dir, "ckpt_nan")
+        _ckpt.save_checkpoint(path, state, step)
+        msg += f"; emergency checkpoint written to {path}"
+    raise NonFiniteLossError(msg)

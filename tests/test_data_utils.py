@@ -262,3 +262,25 @@ def test_mnist_driver_refuses_derived_multi_digit(tmp_path):
         ["--dataset", "36", "--mnist_data_path", str(tmp_path)])
     with pytest.raises(SystemExit, match="digit-3"):
         mnist_cli.ensure_dataset(args)
+
+
+def test_check_finite_sentinel(tmp_path):
+    """NaN sentinel (SURVEY §5.3): clean metrics pass; a NaN raises and
+    writes an emergency checkpoint of the last state."""
+    import optax
+    import pytest
+    from svgpvae_tpu import train, utils
+
+    utils.check_finite([1.0, -2.5, 0.0], step=10)  # no raise
+
+    params = {"w": jnp.ones(3)}
+    tx = optax.adam(1e-3)
+    state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
+    run_dir = str(tmp_path)
+    with pytest.raises(utils.NonFiniteLossError, match="step 7"):
+        utils.check_finite([1.0, float("nan")], step=7, state=state,
+                           run_dir=run_dir)
+    assert utils.latest_step(os.path.join(run_dir, "ckpt_nan")) == 7
+
+    with pytest.raises(utils.NonFiniteLossError):  # no dir: still raises
+        utils.check_finite([float("inf")], step=3)
