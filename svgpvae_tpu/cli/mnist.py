@@ -340,6 +340,20 @@ def run_svgpvae(args) -> dict:
                 vae_cols, flush_every=1)
 
     aux_train_full = jnp.asarray(train_d["aux_data"], data_dtype)
+    # upload every split to device memory ONCE; the eval pipelines slice
+    # these arrays (zero host->device transfer per eval) and defer scalar
+    # materialization to one sync per pass — on a tunneled device this is
+    # the difference between ~20 s and ~2 s per eval epoch
+    train_images_dev = jnp.asarray(train_d["images"], data_dtype)
+    eval_images_dev = jnp.asarray(eval_d["images"], data_dtype)
+    eval_aux_dev = jnp.asarray(eval_d["aux_data"], data_dtype)
+    test_images_dev = jnp.asarray(test_d["images"], data_dtype)
+    test_aux_dev = jnp.asarray(test_d["aux_data"], data_dtype)
+
+    def batch_slices(n):
+        return [(lo, min(lo + args.batch_size, n))
+                for lo in range(0, n, args.batch_size)]
+
     eval_key = jax.random.PRNGKey(7)
     cgen_history = []
     t_start = time.time()
@@ -391,8 +405,7 @@ def run_svgpvae(args) -> dict:
         if args.bias_analysis and mean_vectors_epoch:
             full_mv = gpm.mean_vector_bias_analysis(
                 state.params["gp"], aux_train_full,
-                *encode_fn(state.params,
-                           jnp.asarray(train_d["images"], data_dtype)))
+                *encode_fn(state.params, train_images_dev))
             avg_batch = np.mean(mean_vectors_epoch, axis=0)
             bias = float(np.mean(np.abs(avg_batch - np.asarray(full_mv))))
             print(f"bias for epoch {epoch}: {bias:.6f}")
@@ -404,32 +417,31 @@ def run_svgpvae(args) -> dict:
                   f"{np.sum(losses) / N_train:.5f}, "
                   f"epoch time {time.time() - t_epoch:.2f}s")
 
-            # eval-set recon MSE
+            # eval-set recon MSE (device-resident slices; one sync at end)
             ev_losses = []
-            for batch_np in data.batch_iterator(eval_d, args.batch_size):
-                batch = (jnp.asarray(batch_np[0], data_dtype),
-                         jnp.asarray(batch_np[1], data_dtype))
+            for lo, hi in batch_slices(N_eval):
+                batch = (eval_images_dev[lo:hi], eval_aux_dev[lo:hi])
                 if use_vae_pass:
                     out = eval_recon_vae(state.params, batch, eval_key)
                 else:
                     out = eval_recon_svgpvae(state.params, batch, eval_key,
                                              state.geco)
-                ev_losses.append(float(out.recon_loss))
-            print(f"  eval MSE: {np.sum(ev_losses) / N_eval:.5f}")
+                ev_losses.append(out.recon_loss)
+            print(f"  eval MSE: "
+                  f"{float(jnp.sum(jnp.stack(ev_losses))) / N_eval:.5f}")
 
             # test-set recon MSE + pics
             te_losses, recon_arr = [], []
-            for batch_np in data.batch_iterator(test_d, args.batch_size):
-                batch = (jnp.asarray(batch_np[0], data_dtype),
-                         jnp.asarray(batch_np[1], data_dtype))
+            for lo, hi in batch_slices(N_test):
+                batch = (test_images_dev[lo:hi], test_aux_dev[lo:hi])
                 if use_vae_pass:
                     out = eval_recon_vae(state.params, batch, eval_key)
                 else:
                     out = eval_recon_svgpvae(state.params, batch, eval_key,
                                              state.geco)
-                te_losses.append(float(out.recon_loss))
-                recon_arr.append(np.asarray(out.recon_images))
-            test_mse = np.sum(te_losses) / N_test
+                te_losses.append(out.recon_loss)
+                recon_arr.append(out.recon_images)
+            test_mse = float(jnp.sum(jnp.stack(te_losses))) / N_test
             print(f"  test MSE: {test_mse:.5f}")
             if run_dir:
                 plots.plot_image_grid(
@@ -438,37 +450,32 @@ def run_svgpvae(args) -> dict:
                     save_path=os.path.join(run_dir, "pics",
                                            f"{steps_done}.png"))
 
-            # conditional generation
+            # conditional generation (full-train encode + conditioning,
+            # all from device-resident arrays)
             if is_svgpvae:
                 means, variances = [], []
-                for batch_np in data.batch_iterator(train_d,
-                                                    args.batch_size):
+                for lo, hi in batch_slices(N_train):
                     mu, var = encode_fn(state.params,
-                                        jnp.asarray(batch_np[0],
-                                                    data_dtype))
-                    means.append(np.asarray(mu))
-                    variances.append(np.asarray(var))
-                means = jnp.asarray(np.concatenate(means))
-                variances = jnp.asarray(np.concatenate(variances))
+                                        train_images_dev[lo:hi])
+                    means.append(mu)
+                    variances.append(var)
+                means = jnp.concatenate(means)
+                variances = jnp.concatenate(variances)
 
                 cg_losses, cg_images = [], []
-                for batch_np in data.batch_iterator(test_d, args.batch_size):
-                    batch = (jnp.asarray(batch_np[0], data_dtype),
-                             jnp.asarray(batch_np[1], data_dtype))
+                for lo, hi in batch_slices(N_test):
+                    batch = (test_images_dev[lo:hi], test_aux_dev[lo:hi])
                     recon, loss = cgen_fn(state.params, batch, means,
                                           variances, aux_train_full,
                                           eval_key)
-                    cg_losses.append(float(loss))
-                    cg_images.append(np.asarray(recon))
-                cgen_mse = np.sum(cg_losses) / N_test
+                    cg_losses.append(loss)
+                    cg_images.append(recon)
+                cgen_mse = float(jnp.sum(jnp.stack(cg_losses))) / N_test
                 recon_images_cgen = np.concatenate(cg_images)
             elif is_cvae:
                 recon, loss = models.predict_cvae(
-                    vae, state.params["vae"],
-                    jnp.asarray(train_d["images"], data_dtype),
-                    aux_train_full,
-                    jnp.asarray(test_d["images"], data_dtype),
-                    jnp.asarray(test_d["aux_data"], data_dtype),
+                    vae, state.params["vae"], train_images_dev,
+                    aux_train_full, test_images_dev, test_aux_dev,
                     eval_key, n_objects=n * 400)
                 cgen_mse = float(loss)
                 recon_images_cgen = np.asarray(recon)
@@ -492,10 +499,11 @@ def run_svgpvae(args) -> dict:
             # metric streams, computed on one batch of the test or eval set
             # (reference: --test_set_metrics, MNIST_experiment.py:395-400)
             if savers and use_vae_pass:
-                src = test_d if args.test_set_metrics else eval_d
-                mbatch = next(data.batch_iterator(src, args.batch_size))
-                mbatch = (jnp.asarray(mbatch[0], data_dtype),
-                          jnp.asarray(mbatch[1], data_dtype))
+                mbatch = ((test_images_dev, test_aux_dev)
+                          if args.test_set_metrics
+                          else (eval_images_dev, eval_aux_dev))
+                mbatch = (mbatch[0][:args.batch_size],
+                          mbatch[1][:args.batch_size])
                 out = eval_recon_vae(state.params, mbatch, eval_key)
                 (savers["elbo_vae"] if is_svgpvae else savers["elbo"])(
                     [steps_done, float(out.elbo), float(out.recon_loss),
@@ -503,10 +511,11 @@ def run_svgpvae(args) -> dict:
                      float(out.qnet_mu.min()), float(out.qnet_mu.max()),
                      float(out.qnet_var.min()), float(out.qnet_var.max())])
             if savers and not use_vae_pass:
-                src = test_d if args.test_set_metrics else eval_d
-                mbatch = next(data.batch_iterator(src, args.batch_size))
-                mbatch = (jnp.asarray(mbatch[0], data_dtype),
-                          jnp.asarray(mbatch[1], data_dtype))
+                mbatch = ((test_images_dev, test_aux_dev)
+                          if args.test_set_metrics
+                          else (eval_images_dev, eval_aux_dev))
+                mbatch = (mbatch[0][:args.batch_size],
+                          mbatch[1][:args.batch_size])
                 out = eval_recon_svgpvae(state.params, mbatch, eval_key,
                                          state.geco)
                 savers["elbo"]([steps_done, float(out.elbo),
@@ -581,8 +590,7 @@ def run_svgpvae(args) -> dict:
         with open(os.path.join(run_dir, "cgen_images.p"), "wb") as f:
             pickle.dump(recon_images_cgen, f)
     if run_dir and args.save_latents:
-        mu, var = encode_fn(state.params,
-                            jnp.asarray(train_d["images"], data_dtype))
+        mu, var = encode_fn(state.params, train_images_dev)
         if is_svgpvae:
             p_m, p_v, _, _ = gpm.posterior_params(
                 state.params["gp"], aux_train_full, aux_train_full, mu, var)
@@ -608,6 +616,8 @@ def run_svigp(args) -> dict:
     train_d, eval_d, test_d = data.load_rotated_mnist(
         args.mnist_data_path, digits=args.dataset, M=args.M,
         global_index=True)
+    test_images_dev = jnp.asarray(test_d["images"], jnp.float32)
+    test_aux_dev = jnp.asarray(test_d["aux_data"], jnp.float32)
 
     run_dir = None
     if args.save:
@@ -690,13 +700,13 @@ def run_svigp(args) -> dict:
                   f"train MSE {np.sum(losses) / N_train:.5f}, "
                   f"noise {float(state.params['gp'].noise):.4f}")
             cg_losses, cg_images = [], []
-            for batch_np in data.batch_iterator(test_d, args.batch_size):
-                batch = (jnp.asarray(batch_np[0], jnp.float32),
-                         jnp.asarray(batch_np[1], jnp.float32))
+            for lo in range(0, N_test, args.batch_size):
+                batch = (test_images_dev[lo:lo + args.batch_size],
+                         test_aux_dev[lo:lo + args.batch_size])
                 recon, loss = predict_fn(state.params, batch)
-                cg_losses.append(float(loss))
-                cg_images.append(np.asarray(recon))
-            cgen_mse = np.sum(cg_losses) / N_test
+                cg_losses.append(loss)
+                cg_images.append(recon)
+            cgen_mse = float(jnp.sum(jnp.stack(cg_losses))) / N_test
             recon_images_cgen = np.concatenate(cg_images)
             cgen_history.append((epoch, cgen_mse))
             print(f"  cgen test MSE: {cgen_mse:.5f}")
