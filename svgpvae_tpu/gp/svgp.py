@@ -58,7 +58,13 @@ class SVGPConfig:
     # clipping returned finite garbage (its documented negative-variance
     # issue, SVGPVAE_model.py:1175-1177).  Set to 0.0 for exact-parity
     # studies against absolute-jitter formulas.
-    sigma_rel_jitter: float = struct.field(pytree_node=False, default=1e-6)
+    # Sized from the f32 assembly noise floor: Sigma's roundoff is
+    # ~eps*lambda_max (measured: lambda_min -5e-3 vs lambda_max 1.8e7 on a
+    # late-training 14-row eval tail — pure roundoff landing negative), so
+    # the ridge must clear eps*m*max_diag; 1e-5 * max-diag gives ~10x
+    # margin at m=32 while perturbing well-scaled small problems by <=1e-5
+    # relative (below every quality metric's resolution).
+    sigma_rel_jitter: float = struct.field(pytree_node=False, default=1e-5)
     # Reproduce the reference ball-SVGP KL quirk (SVGPVAE_model.py:134-137)
     # which uses sum(A_hat * K_mm^{-1} A_hat) in place of the correct
     # mu_hat^T K_mm^{-1} mu_hat quadratic term.  Off by default (correct
@@ -276,7 +282,10 @@ def _sigma_cholesky(Sigma, cfg):
     jitter; see SVGPConfig.sigma_rel_jitter."""
     jitter = cfg.jitter
     if cfg.sigma_rel_jitter:
-        diag_scale = jnp.mean(jnp.diagonal(Sigma, axis1=-2, axis2=-1))
+        # max (not mean) diagonal: the f32 assembly's roundoff scales with
+        # lambda_max, and rank-deficient minibatch contributions (a tail
+        # batch with b << m at scale N/b) make the diagonal very uneven
+        diag_scale = jnp.max(jnp.diagonal(Sigma, axis1=-2, axis2=-1))
         jitter = jitter + cfg.sigma_rel_jitter * diag_scale
     return linalg.safe_cholesky(Sigma, jitter)
 
