@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import contextlib
+import functools
 import os
 import pickle
 import time
@@ -307,6 +308,40 @@ def run_svgpvae(args) -> dict:
                                          batch, means, variances, aux_train,
                                          key)
 
+    # whole-split eval passes as ONE program each: lax.map over stacked
+    # batch_size chunks (identical per-chunk math to the reference's
+    # batched eval — the GP posterior still conditions per chunk).  On a
+    # tunneled device this cuts an eval pass from ~45 dispatches to ~8.
+    def _recon_out(params, batch, key, geco, vae_pass: bool):
+        if vae_pass:
+            return eval_recon_vae(params, batch, key)
+        return eval_recon_svgpvae(params, batch, key, geco)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def recon_stack_fn(params, stack, key, geco, vae_pass: bool):
+        def body(b):
+            out = _recon_out(params, b, key, geco, vae_pass)
+            return out.recon_loss, out.recon_images
+        losses, recons = jax.lax.map(body, stack)
+        return jnp.sum(losses), recons.reshape(-1, *recons.shape[2:])
+
+    @jax.jit
+    def encode_stack_fn(params, images_stack):
+        mus, vs = jax.lax.map(
+            lambda im: models.batching_encode_svgpvae(
+                vae, params["vae"], im, clip_qs=args.clip_qs), images_stack)
+        return (mus.reshape(-1, mus.shape[-1]), vs.reshape(-1, vs.shape[-1]))
+
+    @jax.jit
+    def cgen_stack_fn(params, stack, means, variances, aux_train, key):
+        def body(b):
+            recon, loss = models.predict_cgen_mnist(
+                vae, params["vae"], params["gp"], b, means, variances,
+                aux_train, key)
+            return loss, recon
+        losses, recons = jax.lax.map(body, stack)
+        return jnp.sum(losses), recons.reshape(-1, *recons.shape[2:])
+
     if is_svgpvae:
         nr_epochs, regime = train.parse_opt_regime(list(args.opt_regime))
     else:
@@ -350,9 +385,21 @@ def run_svgpvae(args) -> dict:
     test_images_dev = jnp.asarray(test_d["images"], data_dtype)
     test_aux_dev = jnp.asarray(test_d["aux_data"], data_dtype)
 
-    def batch_slices(n):
-        return [(lo, min(lo + args.batch_size, n))
-                for lo in range(0, n, args.batch_size)]
+    def chunk_stack(images, aux):
+        bs = args.batch_size
+        full = images.shape[0] // bs
+        stack = (images[:full * bs].reshape(full, bs, *images.shape[1:]),
+                 aux[:full * bs].reshape(full, bs, aux.shape[-1]))
+        tail = ((images[full * bs:], aux[full * bs:])
+                if images.shape[0] % bs else None)
+        return stack, tail
+
+    eval_stack, eval_tail = chunk_stack(eval_images_dev, eval_aux_dev)
+    test_stack, test_tail = chunk_stack(test_images_dev, test_aux_dev)
+    n_tr_full = N_train // args.batch_size * args.batch_size
+    train_enc_stack = train_images_dev[:n_tr_full].reshape(
+        -1, args.batch_size, *train_images_dev.shape[1:])
+    train_enc_tail = train_images_dev[n_tr_full:]
 
     eval_key = jax.random.PRNGKey(7)
     cgen_history = []
@@ -417,35 +464,30 @@ def run_svgpvae(args) -> dict:
                   f"{np.sum(losses) / N_train:.5f}, "
                   f"epoch time {time.time() - t_epoch:.2f}s")
 
-            # eval-set recon MSE (device-resident slices; one sync at end)
-            ev_losses = []
-            for lo, hi in batch_slices(N_eval):
-                batch = (eval_images_dev[lo:hi], eval_aux_dev[lo:hi])
-                if use_vae_pass:
-                    out = eval_recon_vae(state.params, batch, eval_key)
-                else:
-                    out = eval_recon_svgpvae(state.params, batch, eval_key,
-                                             state.geco)
-                ev_losses.append(out.recon_loss)
-            print(f"  eval MSE: "
-                  f"{float(jnp.sum(jnp.stack(ev_losses))) / N_eval:.5f}")
+            # eval-set recon MSE (one lax.map program + one tail call)
+            ev_sum, _ = recon_stack_fn(state.params, eval_stack, eval_key,
+                                       state.geco, use_vae_pass)
+            if eval_tail is not None:
+                out = _recon_out(state.params, eval_tail, eval_key,
+                                 state.geco, use_vae_pass)
+                ev_sum = ev_sum + out.recon_loss
+            print(f"  eval MSE: {float(ev_sum) / N_eval:.5f}")
 
             # test-set recon MSE + pics
-            te_losses, recon_arr = [], []
-            for lo, hi in batch_slices(N_test):
-                batch = (test_images_dev[lo:hi], test_aux_dev[lo:hi])
-                if use_vae_pass:
-                    out = eval_recon_vae(state.params, batch, eval_key)
-                else:
-                    out = eval_recon_svgpvae(state.params, batch, eval_key,
-                                             state.geco)
-                te_losses.append(out.recon_loss)
-                recon_arr.append(out.recon_images)
-            test_mse = float(jnp.sum(jnp.stack(te_losses))) / N_test
+            te_sum, recon_imgs = recon_stack_fn(state.params, test_stack,
+                                                eval_key, state.geco,
+                                                use_vae_pass)
+            if test_tail is not None:
+                out = _recon_out(state.params, test_tail, eval_key,
+                                 state.geco, use_vae_pass)
+                te_sum = te_sum + out.recon_loss
+                recon_imgs = jnp.concatenate([recon_imgs,
+                                              out.recon_images])
+            test_mse = float(te_sum) / N_test
             print(f"  test MSE: {test_mse:.5f}")
             if run_dir:
                 plots.plot_image_grid(
-                    test_d["images"], np.concatenate(recon_arr),
+                    test_d["images"], np.asarray(recon_imgs),
                     f"epoch {epoch + 1}. recon MSE test {test_mse:.4f}",
                     save_path=os.path.join(run_dir, "pics",
                                            f"{steps_done}.png"))
@@ -453,25 +495,24 @@ def run_svgpvae(args) -> dict:
             # conditional generation (full-train encode + conditioning,
             # all from device-resident arrays)
             if is_svgpvae:
-                means, variances = [], []
-                for lo, hi in batch_slices(N_train):
-                    mu, var = encode_fn(state.params,
-                                        train_images_dev[lo:hi])
-                    means.append(mu)
-                    variances.append(var)
-                means = jnp.concatenate(means)
-                variances = jnp.concatenate(variances)
+                means, variances = encode_stack_fn(state.params,
+                                                   train_enc_stack)
+                if train_enc_tail.shape[0]:
+                    mt, vt = encode_fn(state.params, train_enc_tail)
+                    means = jnp.concatenate([means, mt])
+                    variances = jnp.concatenate([variances, vt])
 
-                cg_losses, cg_images = [], []
-                for lo, hi in batch_slices(N_test):
-                    batch = (test_images_dev[lo:hi], test_aux_dev[lo:hi])
-                    recon, loss = cgen_fn(state.params, batch, means,
+                cg_sum, cg_imgs = cgen_stack_fn(state.params, test_stack,
+                                                means, variances,
+                                                aux_train_full, eval_key)
+                if test_tail is not None:
+                    recon, loss = cgen_fn(state.params, test_tail, means,
                                           variances, aux_train_full,
                                           eval_key)
-                    cg_losses.append(loss)
-                    cg_images.append(recon)
-                cgen_mse = float(jnp.sum(jnp.stack(cg_losses))) / N_test
-                recon_images_cgen = np.concatenate(cg_images)
+                    cg_sum = cg_sum + loss
+                    cg_imgs = jnp.concatenate([cg_imgs, recon])
+                cgen_mse = float(cg_sum) / N_test
+                recon_images_cgen = np.asarray(cg_imgs)
             elif is_cvae:
                 recon, loss = models.predict_cvae(
                     vae, state.params["vae"], train_images_dev,
