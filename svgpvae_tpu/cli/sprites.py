@@ -389,6 +389,40 @@ def run_experiment(args) -> dict:
         metrics_batch = (main_batches[0][0], main_batches[1][0])
         metrics_fn = metrics_train_fn
 
+    # device-resident, pre-stacked test_character batches: each eval pass
+    # then runs as one lax.map program instead of ~30 tunneled dispatches
+    # with per-batch host->device transfers
+    _tc = list(data.sprites_batch_iterator(test_char_d, batch_test_char))
+    tc_frames_dev = jnp.asarray(np.stack([f for f, _ in _tc]), jnp.float32)
+    tc_action_dev = jnp.asarray(np.stack([a[:, 1] for _, a in _tc]),
+                                jnp.float32)
+    tc_last_frames = _tc[-1][0]
+    del _tc
+
+    @jax.jit
+    def test_recon_losses_fn(params, key, geco):
+        def body(b):
+            loss, _ = test_recon_fn(params, b, key, geco)
+            return loss
+        return jnp.sum(jax.lax.map(body, (tc_frames_dev, tc_action_dev)))
+
+    @jax.jit
+    def encode_all_fn(params):
+        mus, vs, auxs = jax.lax.map(
+            lambda fb: encode_fn(params, fb[0], fb[1]),
+            (main_batches[0], main_batches[1]))
+        return (mus.reshape(-1, mus.shape[-1]),
+                vs.reshape(-1, vs.shape[-1]),
+                auxs.reshape(-1, auxs.shape[-1]))
+
+    @jax.jit
+    def cgen_losses_fn(params, mean_terms, sigma_inv, kmm_inv, key):
+        def body(b):
+            _, _, loss = cgen_fn(params, b[0], b[1], mean_terms, sigma_inv,
+                                 kmm_inv, key)
+            return loss
+        return jnp.sum(jax.lax.map(body, (tc_frames_dev, tc_action_dev)))
+
     eval_key = jax.random.PRNGKey(11)
     cgen_history = []
     steps_done = start_steps = int(state.step)  # nonzero on resume
@@ -449,56 +483,40 @@ def run_experiment(args) -> dict:
                                       f"gp_params_{steps_done}.npz"),
                          gplvm_action=np.asarray(gp_p.gplvm_action),
                          inducing_points=np.asarray(gp_p.inducing_points))
-            # test_character reconstruction
-            te_losses = []
-            recon_imgs = frames_last = None
-            for frames, aux in data.sprites_batch_iterator(test_char_d,
-                                                           batch_test_char):
-                # aux columns are [character_id, action_frame_id]; the GP
-                # consumes ACTION ids (GPLVM table gather)
-                batch = (jnp.asarray(frames), jnp.asarray(aux[:, 1]))
-                loss, recon_imgs = test_recon_fn(state.params, batch,
-                                                 eval_key, state.geco)
-                te_losses.append(float(loss))
-                frames_last = frames
-            test_mse = np.sum(te_losses) / N_test
+            # test_character reconstruction (aux columns are
+            # [character_id, action_frame_id]; the GP consumes ACTION ids)
+            test_mse = float(test_recon_losses_fn(
+                state.params, eval_key, state.geco)) / N_test
             print(f"  test recon MSE: {test_mse:.5f}")
             if run_dir:
+                _, recon_imgs = test_recon_fn(
+                    state.params, (tc_frames_dev[-1], tc_action_dev[-1]),
+                    eval_key, state.geco)
                 plots.plot_image_grid(
-                    frames_last, np.asarray(recon_imgs),
+                    tc_last_frames, np.asarray(recon_imgs),
                     f"epoch {epoch + 1}. recon MSE {test_mse:.4f}",
                     save_path=os.path.join(run_dir, "pics",
                                            f"{steps_done}_recon.png"))
 
             # conditional generation for unseen characters
             if is_svgpvae:
-                means, variances, auxs = [], [], []
-                enc_iter = [(main_batches[0][i], main_batches[1][i])
-                            for i in range(n_full)]
+                means, variances, auxs = encode_all_fn(state.params)
                 if tail_n:
-                    enc_iter.append((train_frames_dev[-tail_n:],
-                                     train_action_dev[-tail_n:]))
-                for frames, action_ids in enc_iter:
-                    mu, var, aux_j = encode_fn(state.params, frames,
-                                               action_ids)
-                    means.append(np.asarray(mu))
-                    variances.append(np.asarray(var))
-                    auxs.append(np.asarray(aux_j))
+                    mu, var, aux_j = encode_fn(state.params,
+                                               train_frames_dev[-tail_n:],
+                                               train_action_dev[-tail_n:])
+                    means = jnp.concatenate([means, mu])
+                    variances = jnp.concatenate([variances, var])
+                    auxs = jnp.concatenate([auxs, aux_j])
                 mean_terms, sigma_inv, kmm_inv = precompute_fn(
-                    state.params, jnp.asarray(np.concatenate(means)),
-                    jnp.asarray(np.concatenate(variances)),
-                    jnp.asarray(np.concatenate(auxs)))
+                    state.params, means, variances, auxs)
 
-                cg_losses = []
-                pics = tgts = None
-                for frames, aux in data.sprites_batch_iterator(
-                        test_char_d, batch_test_char):
-                    pics, tgts, loss = cgen_fn(
-                        state.params, jnp.asarray(frames),
-                        jnp.asarray(aux[:, 1]), mean_terms, sigma_inv,
-                        kmm_inv, eval_key)
-                    cg_losses.append(float(loss))
-                cgen_mse = np.sum(cg_losses) / (
+                cg_sum = cgen_losses_fn(state.params, mean_terms,
+                                        sigma_inv, kmm_inv, eval_key)
+                pics, tgts, _ = cgen_fn(
+                    state.params, tc_frames_dev[-1], tc_action_dev[-1],
+                    mean_terms, sigma_inv, kmm_inv, eval_key)
+                cgen_mse = float(cg_sum) / (
                     N_test * (1 - args.N_context / N_ACTIONS))
                 cgen_history.append((epoch, cgen_mse))
                 print(f"  cgen test MSE: {cgen_mse:.5f}")
