@@ -399,29 +399,33 @@ def run_experiment(args) -> dict:
     tc_last_frames = _tc[-1][0]
     del _tc
 
+    # NOTE: the stacked arrays are passed as ARGUMENTS, not closed over —
+    # a closure would embed them as compile-time constants, which the
+    # device link re-uploads with the program (hundreds of MB)
     @jax.jit
-    def test_recon_losses_fn(params, key, geco):
+    def test_recon_losses_fn(params, frames_st, action_st, key, geco):
         def body(b):
             loss, _ = test_recon_fn(params, b, key, geco)
             return loss
-        return jnp.sum(jax.lax.map(body, (tc_frames_dev, tc_action_dev)))
+        return jnp.sum(jax.lax.map(body, (frames_st, action_st)))
 
     @jax.jit
-    def encode_all_fn(params):
+    def encode_all_fn(params, frames_st, action_st):
         mus, vs, auxs = jax.lax.map(
             lambda fb: encode_fn(params, fb[0], fb[1]),
-            (main_batches[0], main_batches[1]))
+            (frames_st, action_st))
         return (mus.reshape(-1, mus.shape[-1]),
                 vs.reshape(-1, vs.shape[-1]),
                 auxs.reshape(-1, auxs.shape[-1]))
 
     @jax.jit
-    def cgen_losses_fn(params, mean_terms, sigma_inv, kmm_inv, key):
+    def cgen_losses_fn(params, frames_st, action_st, mean_terms, sigma_inv,
+                       kmm_inv, key):
         def body(b):
             _, _, loss = cgen_fn(params, b[0], b[1], mean_terms, sigma_inv,
                                  kmm_inv, key)
             return loss
-        return jnp.sum(jax.lax.map(body, (tc_frames_dev, tc_action_dev)))
+        return jnp.sum(jax.lax.map(body, (frames_st, action_st)))
 
     eval_key = jax.random.PRNGKey(11)
     cgen_history = []
@@ -486,7 +490,8 @@ def run_experiment(args) -> dict:
             # test_character reconstruction (aux columns are
             # [character_id, action_frame_id]; the GP consumes ACTION ids)
             test_mse = float(test_recon_losses_fn(
-                state.params, eval_key, state.geco)) / N_test
+                state.params, tc_frames_dev, tc_action_dev, eval_key,
+                state.geco)) / N_test
             print(f"  test recon MSE: {test_mse:.5f}")
             if run_dir:
                 _, recon_imgs = test_recon_fn(
@@ -500,7 +505,8 @@ def run_experiment(args) -> dict:
 
             # conditional generation for unseen characters
             if is_svgpvae:
-                means, variances, auxs = encode_all_fn(state.params)
+                means, variances, auxs = encode_all_fn(
+                    state.params, main_batches[0], main_batches[1])
                 if tail_n:
                     mu, var, aux_j = encode_fn(state.params,
                                                train_frames_dev[-tail_n:],
@@ -511,7 +517,8 @@ def run_experiment(args) -> dict:
                 mean_terms, sigma_inv, kmm_inv = precompute_fn(
                     state.params, means, variances, auxs)
 
-                cg_sum = cgen_losses_fn(state.params, mean_terms,
+                cg_sum = cgen_losses_fn(state.params, tc_frames_dev,
+                                        tc_action_dev, mean_terms,
                                         sigma_inv, kmm_inv, eval_key)
                 pics, tgts, _ = cgen_fn(
                     state.params, tc_frames_dev[-1], tc_action_dev[-1],
