@@ -342,60 +342,6 @@ def run_svgpvae(args) -> dict:
         losses, recons = jax.lax.map(body, stack)
         return jnp.sum(losses), recons.reshape(-1, *recons.shape[2:])
 
-    @jax.jit
-    def full_eval_svgpvae(params, geco, key, eval_stack, eval_tail,
-                          test_stack, test_tail, enc_stack, enc_tail,
-                          aux_train):
-        """The ENTIRE eval epoch (eval recon + test recon + full-train
-        encode + cgen) as one XLA program — a single dispatch through the
-        device link instead of ~8.  Tails are separate fixed-shape args
-        (None when the split divides evenly; a different treedef just
-        retraces once)."""
-        def recon_map(stack):
-            def body(b):
-                out = eval_recon_svgpvae(params, b, key, geco)
-                return out.recon_loss, out.recon_images
-            losses, recons = jax.lax.map(body, stack)
-            return jnp.sum(losses), recons.reshape(-1, *recons.shape[2:])
-
-        ev_sum, _ = recon_map(eval_stack)
-        if eval_tail is not None:
-            ev_sum += eval_recon_svgpvae(params, eval_tail, key,
-                                         geco).recon_loss
-
-        te_sum, recon_imgs = recon_map(test_stack)
-        if test_tail is not None:
-            out = eval_recon_svgpvae(params, test_tail, key, geco)
-            te_sum += out.recon_loss
-            recon_imgs = jnp.concatenate([recon_imgs, out.recon_images])
-
-        mus, vs = jax.lax.map(
-            lambda im: models.batching_encode_svgpvae(
-                vae, params["vae"], im, clip_qs=args.clip_qs), enc_stack)
-        means = mus.reshape(-1, mus.shape[-1])
-        variances = vs.reshape(-1, vs.shape[-1])
-        if enc_tail is not None:
-            mt, vt = models.batching_encode_svgpvae(
-                vae, params["vae"], enc_tail, clip_qs=args.clip_qs)
-            means = jnp.concatenate([means, mt])
-            variances = jnp.concatenate([variances, vt])
-
-        def cgen_body(b):
-            recon, loss = models.predict_cgen_mnist(
-                vae, params["vae"], params["gp"], b, means, variances,
-                aux_train, key)
-            return loss, recon
-        cls, crs = jax.lax.map(cgen_body, test_stack)
-        cg_sum = jnp.sum(cls)
-        cg_imgs = crs.reshape(-1, *crs.shape[2:])
-        if test_tail is not None:
-            recon, loss = models.predict_cgen_mnist(
-                vae, params["vae"], params["gp"], test_tail, means,
-                variances, aux_train, key)
-            cg_sum += loss
-            cg_imgs = jnp.concatenate([cg_imgs, recon])
-        return ev_sum, te_sum, recon_imgs, cg_sum, cg_imgs
-
     if is_svgpvae:
         nr_epochs, regime = train.parse_opt_regime(list(args.opt_regime))
     else:
@@ -518,62 +464,37 @@ def run_svgpvae(args) -> dict:
                   f"{np.sum(losses) / N_train:.5f}, "
                   f"epoch time {time.time() - t_epoch:.2f}s")
 
-            if is_svgpvae and not use_vae_pass:
-                # the whole eval epoch as ONE program / one dispatch
-                (ev_sum, te_sum, recon_imgs, cg_sum,
-                 cg_imgs) = full_eval_svgpvae(
-                    state.params, state.geco, eval_key, eval_stack,
-                    eval_tail, test_stack, test_tail, train_enc_stack,
-                    train_enc_tail if train_enc_tail.shape[0] else None,
-                    aux_train_full)
-                print(f"  eval MSE: {float(ev_sum) / N_eval:.5f}")
-                test_mse = float(te_sum) / N_test
-                print(f"  test MSE: {test_mse:.5f}")
-                if run_dir:
-                    plots.plot_image_grid(
-                        test_d["images"], np.asarray(recon_imgs),
-                        f"epoch {epoch + 1}. recon MSE test "
-                        f"{test_mse:.4f}",
-                        save_path=os.path.join(run_dir, "pics",
-                                               f"{steps_done}.png"))
-                cgen_mse = float(cg_sum) / N_test
-                recon_images_cgen = np.asarray(cg_imgs)
-                do_cgen = False
-            else:
-                # VAE/CVAE passes (and VAE-regime epochs of SVGPVAE runs)
-                ev_sum, _ = recon_stack_fn(state.params, eval_stack,
-                                           eval_key, state.geco,
-                                           use_vae_pass)
-                if eval_tail is not None:
-                    out = _recon_out(state.params, eval_tail, eval_key,
-                                     state.geco, use_vae_pass)
-                    ev_sum = ev_sum + out.recon_loss
-                print(f"  eval MSE: {float(ev_sum) / N_eval:.5f}")
+            # eval-set recon MSE (one lax.map program + one tail call)
+            ev_sum, _ = recon_stack_fn(state.params, eval_stack, eval_key,
+                                       state.geco, use_vae_pass)
+            if eval_tail is not None:
+                out = _recon_out(state.params, eval_tail, eval_key,
+                                 state.geco, use_vae_pass)
+                ev_sum = ev_sum + out.recon_loss
+            print(f"  eval MSE: {float(ev_sum) / N_eval:.5f}")
 
-                te_sum, recon_imgs = recon_stack_fn(
-                    state.params, test_stack, eval_key, state.geco,
-                    use_vae_pass)
-                if test_tail is not None:
-                    out = _recon_out(state.params, test_tail, eval_key,
-                                     state.geco, use_vae_pass)
-                    te_sum = te_sum + out.recon_loss
-                    recon_imgs = jnp.concatenate([recon_imgs,
-                                                  out.recon_images])
-                test_mse = float(te_sum) / N_test
-                print(f"  test MSE: {test_mse:.5f}")
-                if run_dir:
-                    plots.plot_image_grid(
-                        test_d["images"], np.asarray(recon_imgs),
-                        f"epoch {epoch + 1}. recon MSE test "
-                        f"{test_mse:.4f}",
-                        save_path=os.path.join(run_dir, "pics",
-                                               f"{steps_done}.png"))
-                do_cgen = True
+            # test-set recon MSE + pics
+            te_sum, recon_imgs = recon_stack_fn(state.params, test_stack,
+                                                eval_key, state.geco,
+                                                use_vae_pass)
+            if test_tail is not None:
+                out = _recon_out(state.params, test_tail, eval_key,
+                                 state.geco, use_vae_pass)
+                te_sum = te_sum + out.recon_loss
+                recon_imgs = jnp.concatenate([recon_imgs,
+                                              out.recon_images])
+            test_mse = float(te_sum) / N_test
+            print(f"  test MSE: {test_mse:.5f}")
+            if run_dir:
+                plots.plot_image_grid(
+                    test_d["images"], np.asarray(recon_imgs),
+                    f"epoch {epoch + 1}. recon MSE test {test_mse:.4f}",
+                    save_path=os.path.join(run_dir, "pics",
+                                           f"{steps_done}.png"))
 
-            # conditional generation for the non-fused paths
-            if not do_cgen:
-                pass
-            elif is_svgpvae:
+            # conditional generation (full-train encode + conditioning,
+            # all from device-resident arrays)
+            if is_svgpvae:
                 means, variances = encode_stack_fn(state.params,
                                                    train_enc_stack)
                 if train_enc_tail.shape[0]:
