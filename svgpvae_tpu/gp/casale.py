@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import Array
@@ -146,8 +147,16 @@ def effective_alpha(alpha):
     """f32 guard on the latent-GP observation noise, shared by every
     consumer (Woodbury solves AND the c*alpha Taylor term in
     forward_pass_casale) so the objective stays internally consistent
-    when the raw parameter is driven to/below zero."""
-    return jnp.maximum(alpha, ALPHA_FLOOR)
+    when the raw parameter is driven to/below zero.
+
+    Straight-through clamp: the VALUE is floored at ALPHA_FLOOR but the
+    gradient is the identity, so a raw alpha that trains below the floor
+    is not permanently frozen there (a plain `maximum` has zero gradient
+    below the floor — a one-way trap the reference's float64 dynamics
+    never hit).  PARITY.md divergence #7 documents this.
+    """
+    clamped = jnp.maximum(alpha, ALPHA_FLOOR)
+    return alpha + jax.lax.stop_gradient(clamped - alpha)
 
 
 @linalg.precise

@@ -135,9 +135,11 @@ def check_finite(values, step: int, state=None, run_dir: str = None,
     later epoch (observed on the Casale GP phase, RESULTS.md round 2 —
     90 epochs of NaN metrics after one bad Cholesky).  Drivers call this
     on each epoch's aggregated metrics; on the first non-finite value it
-    saves an emergency checkpoint of the LAST state (when a run dir and
-    state are available) and raises, so the failure is loud and the
-    most recent parameters are preserved for diagnosis.
+    saves an emergency checkpoint of the CURRENT — typically already
+    NaN-poisoned — state (when a run dir and state are available) and
+    raises.  The checkpoint is a diagnostic artifact (inspect which
+    leaves went non-finite), not a resume point; resume from the last
+    periodic save in `ckpt/`.
     """
     import numpy as _np
 
