@@ -117,7 +117,8 @@ def make_train_step(loss_fn, tx, donate: bool = True):
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_epoch_fn(loss_fn, tx, donate: bool = True):
+def make_epoch_fn(loss_fn, tx, donate: bool = True, shuffle: bool = False,
+                  shuffle_block: int = 1):
     """Build a jitted WHOLE-EPOCH runner: `lax.scan` over a device-resident
     pre-batched dataset.
 
@@ -126,6 +127,18 @@ def make_epoch_fn(loss_fn, tx, donate: bool = True):
     live in HBM (rotated MNIST: ~12 MB), so an epoch is one XLA program —
     no per-step host dispatch, no host<->device transfers.  `batches` is a
     pytree whose leaves are stacked along a leading n_batches axis.
+
+    With `shuffle=True` the epoch starts with an in-program reshuffle of
+    the EXAMPLE axis across the whole stack (one `jax.random.permutation`
+    gather, keyed off the TrainState PRNG), reproducing the reference's
+    per-epoch `tf.data` reshuffle semantics (utils.py:820-824) at ~zero
+    cost; default False keeps one fixed batch order for all epochs
+    (PARITY.md divergence #9).  `shuffle_block` permutes contiguous blocks
+    of that many examples instead of single examples — SPRITES batches
+    must keep each character's `frames_per_char` frames contiguous (the
+    segment-mean aux-data layout, models.sprites_aux_data), matching the
+    reference whose per-batch segment_ids assume the same grouping
+    (SPRITES_utils.py:317-332).
 
     Returns (state, metrics) with metrics stacked per step.
     """
@@ -142,6 +155,15 @@ def make_epoch_fn(loss_fn, tx, donate: bool = True):
         return new_state, dict(metrics, loss=loss)
 
     def epoch_fn(state: TrainState, batches):
+        if shuffle:
+            key, pkey = jax.random.split(state.key)
+            state = state.replace(key=key)
+            nb, bs = jax.tree_util.tree_leaves(batches)[0].shape[:2]
+            n_blocks = (nb * bs) // shuffle_block
+            perm = jax.random.permutation(pkey, n_blocks)
+            batches = jax.tree_util.tree_map(
+                lambda a: a.reshape(n_blocks, shuffle_block, *a.shape[2:])
+                           [perm].reshape(nb, bs, *a.shape[2:]), batches)
         return jax.lax.scan(step_fn, state, batches)
 
     return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())

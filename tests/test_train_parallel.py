@@ -262,3 +262,50 @@ def test_data_parallel_epoch_scan_matches_single_device():
                      jax.tree_util.tree_leaves(state_dp.params)):
         # 4 optimizer steps of psum-reordered f32 accumulation
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def _order_probe_epoch(shuffle, shuffle_block=1, n=24, bs=4):
+    """Run one epoch over batches of distinct ids; return the visit order."""
+    params = {"w": jnp.zeros(())}
+    tx = train.make_optimizer(1e-3)
+
+    def loss_fn(p, batch, key, geco, step):
+        return jnp.sum(p["w"] * batch), (geco, {"ids": batch})
+
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=False,
+                                   shuffle=shuffle,
+                                   shuffle_block=shuffle_block)
+    batches = jnp.arange(n, dtype=jnp.float32).reshape(n // bs, bs)
+    state = train.TrainState.create(params, tx, KEY)
+    state, ms = epoch_fn(state, batches)
+    order1 = np.asarray(ms["ids"]).reshape(-1)
+    state, ms = epoch_fn(state, batches)
+    order2 = np.asarray(ms["ids"]).reshape(-1)
+    return order1, order2
+
+
+def test_epoch_reshuffle_permutes_examples():
+    """--reshuffle: each epoch visits every example exactly once, in a
+    fresh order per epoch (reference tf.data semantics, utils.py:820-824);
+    default keeps the fixed order (PARITY.md divergence #9)."""
+    o1, o2 = _order_probe_epoch(shuffle=False)
+    np.testing.assert_array_equal(o1, np.arange(24))
+    np.testing.assert_array_equal(o2, np.arange(24))
+
+    o1, o2 = _order_probe_epoch(shuffle=True)
+    np.testing.assert_array_equal(np.sort(o1), np.arange(24))
+    np.testing.assert_array_equal(np.sort(o2), np.arange(24))
+    assert not np.array_equal(o1, np.arange(24)) or \
+        not np.array_equal(o2, np.arange(24))
+    assert not np.array_equal(o1, o2)  # key advances between epochs
+
+
+def test_epoch_reshuffle_block_keeps_groups_contiguous():
+    """SPRITES-style block shuffle: frames of one character stay adjacent
+    (segment-mean aux layout, models.sprites_aux_data)."""
+    o1, _ = _order_probe_epoch(shuffle=True, shuffle_block=4)
+    blocks = o1.reshape(-1, 4)
+    # each block is a contiguous run [4k, 4k+1, 4k+2, 4k+3]
+    np.testing.assert_array_equal(blocks - blocks[:, :1],
+                                  np.tile(np.arange(4), (6, 1)))
+    assert not np.array_equal(o1, np.arange(24))
