@@ -92,6 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of one post-warmup "
                         "epoch to this directory (view with xprof)")
+    p.add_argument("--synthetic_digits", action="store_true",
+                   help="allow multi-digit --dataset values to bootstrap "
+                        "from synthetic seven-segment glyph base images "
+                        "(raw MNIST is unavailable offline; see "
+                        "data.synthetic_digit_base_images)")
+    p.add_argument("--reshuffle", action="store_true",
+                   help="reshuffle the example order each epoch inside the "
+                        "epoch-scan program (the reference's tf.data "
+                        "semantics, utils.py:820-824); default keeps one "
+                        "fixed batch order (PARITY.md divergence #9)")
     p.add_argument("--bf16", action="store_true",
                    help="compute the conv nets in bfloat16 (GP math stays f32)")
     p.add_argument("--x64", action="store_true",
@@ -115,21 +125,31 @@ def ensure_dataset(args) -> None:
         "no dataset pickles and no shipped eval pickle to derive from"
     # honesty guard: the shipped eval pickle contains ONLY digit-3 images,
     # so deriving any other digit set from it would silently produce a
-    # dataset labeled e.g. "36" that consists entirely of 3s.  Generate
-    # multi-digit pickles offline with real MNIST base images via
-    # data.generate_rotated_mnist instead.
-    if args.dataset != "3":
-        raise SystemExit(
-            f"cannot derive dataset '{args.dataset}' from the shipped "
-            "digit-3 eval pickle; provide pre-generated pickles at "
-            f"{args.mnist_data_path} (data.generate_rotated_mnist with "
-            "real multi-digit base images)")
-    print(f"dataset not found at {train_p}; deriving base images from the "
-          "shipped eval pickle and generating the rotated-MNIST pickles")
+    # dataset labeled e.g. "36" that consists entirely of 3s.  Multi-digit
+    # sets need either real MNIST base images (data.generate_rotated_mnist)
+    # or the explicit --synthetic_digits stand-in glyphs.
     n_digits = len(args.dataset)
-    base = data.derive_base_images_from_eval(REF_EVAL_PICKLE,
-                                             n_target=400 * n_digits,
-                                             seed=args.seed)
+    if args.dataset != "3":
+        if not args.synthetic_digits:
+            raise SystemExit(
+                f"cannot derive dataset '{args.dataset}' from the shipped "
+                "digit-3 eval pickle; provide pre-generated pickles at "
+                f"{args.mnist_data_path} (data.generate_rotated_mnist with "
+                "real multi-digit base images), or pass --synthetic_digits "
+                "for seven-segment stand-in glyphs")
+        print(f"dataset not found at {train_p}; generating synthetic "
+              f"stand-in glyphs for digits '{args.dataset}' "
+              "(--synthetic_digits)")
+        base = data.synthetic_digit_base_images(args.dataset,
+                                                per_digit=400,
+                                                seed=args.seed)
+    else:
+        print(f"dataset not found at {train_p}; deriving base images from "
+              "the shipped eval pickle and generating the rotated-MNIST "
+              "pickles")
+        base = data.derive_base_images_from_eval(REF_EVAL_PICKLE,
+                                                 n_target=400 * n_digits,
+                                                 seed=args.seed)
     data.generate_rotated_mnist(base, args.mnist_data_path,
                                 digits=args.dataset,
                                 latent_dim_object_vector=args.M,
@@ -270,9 +290,11 @@ def run_svgpvae(args) -> dict:
     # whole-epoch scan over the device-resident full batches; the tail
     # remainder batch (N_train % batch_size) runs through the per-step fn
     # so epoch semantics stay exact
-    epoch_svgpvae = train.make_epoch_fn(loss_svgpvae, tx, donate=True) \
+    epoch_svgpvae = train.make_epoch_fn(loss_svgpvae, tx, donate=True,
+                                        shuffle=args.reshuffle) \
         if is_svgpvae else None
-    epoch_vae = train.make_epoch_fn(loss_vae, tx, donate=True)
+    epoch_vae = train.make_epoch_fn(loss_vae, tx, donate=True,
+                                    shuffle=args.reshuffle)
     full_batches = train.stack_batches(train_d, args.batch_size,
                                    dtype=data_dtype)
     n_full = full_batches[0].shape[0]
@@ -428,13 +450,16 @@ def run_svgpvae(args) -> dict:
                 steps_done += 1
         else:
             epoch_fn = epoch_vae if use_vae_pass else epoch_svgpvae
-            do_trace = bool(args.profile_dir) and epoch == 1
-            traced_any = traced_any or do_trace
-            trace = utils.trace_if(args.profile_dir or "", enabled=do_trace)
             # exclude compiles from the timer: epoch 0, and the first
             # epoch after every opt-regime switch (new epoch_fn program)
             timed = epoch > 0 and (not is_svgpvae
                                    or regime[epoch] == regime[epoch - 1])
+            # trace the first TIMED epoch (not a hardcoded epoch 1, whose
+            # trace would be dominated by compilation if the regime
+            # switches there, e.g. 'VAE-1 SVGPVAE-N')
+            do_trace = bool(args.profile_dir) and not traced_any and timed
+            traced_any = traced_any or do_trace
+            trace = utils.trace_if(args.profile_dir or "", enabled=do_trace)
             with trace, (timer if timed else contextlib.nullcontext()):
                 state, ms = epoch_fn(state, full_batches)
                 elbos = list(np.asarray(ms["elbo"]))
@@ -701,7 +726,8 @@ def run_svigp(args) -> dict:
 
     # whole-epoch lax.scan runner over the device-resident batches (same
     # TPU-native mode as run_svgpvae; the tail remainder runs per-step)
-    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True,
+                                   shuffle=args.reshuffle)
     full_batches = train.stack_batches(train_d, args.batch_size)
     n_full = full_batches[0].shape[0]
     tail_n = len(train_d["images"]) - n_full * args.batch_size
@@ -920,13 +946,16 @@ def run_casale(args) -> dict:
     t_start = time.time()
     current_params = params
     timer = utils.StepTimer(steps_per_block=n_full)
+    traced_any = False
     for epoch in range(nr_epochs):
         r = regime[epoch]
         state = states[r].replace(params=current_params)
-        trace = utils.trace_if(args.profile_dir or "",
-                               enabled=bool(args.profile_dir) and epoch == 1)
         # first epoch of each regime compiles that regime's program
         timed = epoch > 0 and r == regime[epoch - 1]
+        # trace the first TIMED (post-compile, same-regime) epoch
+        do_trace = bool(args.profile_dir) and not traced_any and timed
+        traced_any = traced_any or do_trace
+        trace = utils.trace_if(args.profile_dir or "", enabled=do_trace)
         with trace, (timer if timed else contextlib.nullcontext()):
             state, ms = epochs[r](state, full_batches)
             elbos = list(np.asarray(ms["elbo"]))

@@ -9,6 +9,7 @@ from svgpvae_tpu.data.ball import (  # noqa: F401
 from svgpvae_tpu.data.mnist import (  # noqa: F401
     generate_rotated_mnist,
     derive_base_images_from_eval,
+    synthetic_digit_base_images,
     load_rotated_mnist,
     generate_init_inducing_points,
     add_global_index,

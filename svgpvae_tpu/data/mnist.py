@@ -55,6 +55,58 @@ def derive_base_images_from_eval(eval_pickle_path: str,
     return np.concatenate(out)[:n_target]
 
 
+# seven-segment layout: (row_lo, row_hi, col_lo, col_hi) in a 28x28 frame
+_SEGMENTS = {
+    "A": (4, 7, 8, 20),     # top bar
+    "B": (5, 14, 18, 21),   # top right
+    "C": (14, 23, 18, 21),  # bottom right
+    "D": (21, 24, 8, 20),   # bottom bar
+    "E": (14, 23, 7, 10),   # bottom left
+    "F": (5, 14, 7, 10),    # top left
+    "G": (12, 15, 8, 20),   # middle bar
+}
+_DIGIT_SEGMENTS = {
+    "0": "ABCDEF", "1": "BC", "2": "ABGED", "3": "ABGCD", "4": "FGBC",
+    "5": "AFGCD", "6": "AFGECD", "7": "ABC", "8": "ABCDEFG", "9": "ABCDFG",
+}
+
+
+def synthetic_digit_base_images(digits: str, per_digit: int = 400,
+                                seed: int = 0) -> np.ndarray:
+    """Stand-in multi-digit base images: seven-segment digit glyphs with
+    per-instance rotation/shift/blur/intensity augmentation.
+
+    The environment has no raw MNIST (zero egress) and the shipped eval
+    pickle contains only digit-3 images, so the reference's multi-digit
+    experiments (`--dataset 36 / 13679`, utils.py:507-530,
+    MNIST_experiment.py:40-43) cannot be derived from real data here.
+    These glyphs give each digit CLASS a structurally distinct image
+    distribution (distinct PCA object-vector embeddings), so the full
+    multi-digit pipeline — id blocks, per-digit eval split, N = n*4050
+    train frames, GPLVM table of n*400 object vectors — runs end-to-end.
+    Swap in real MNIST base images via `generate_rotated_mnist` when
+    available.
+
+    Returns (len(digits) * per_digit, 28, 28) float in [0, 1], grouped by
+    digit class in the order given (the id-block layout
+    generate_rotated_mnist expects).
+    """
+    rng = np.random.RandomState(seed)
+    out = np.empty((len(digits) * per_digit, 28, 28))
+    for d_i, d in enumerate(digits):
+        glyph = np.zeros((28, 28))
+        for seg in _DIGIT_SEGMENTS[d]:
+            r0, r1, c0, c1 = _SEGMENTS[seg]
+            glyph[r0:r1, c0:c1] = 1.0
+        for k in range(per_digit):
+            img = glyph * rng.uniform(0.75, 1.0)
+            img = ndimage.rotate(img, rng.uniform(-8, 8), reshape=False)
+            img = np.roll(img, rng.randint(-1, 2, size=2), axis=(0, 1))
+            img = ndimage.gaussian_filter(img, rng.uniform(0.5, 0.9))
+            out[d_i * per_digit + k] = np.clip(img, 0.0, 1.0)
+    return out
+
+
 def generate_rotated_mnist(base_images: np.ndarray, save_path: str,
                            nr_angles: int = 16, valid_set_size: float = 0.1,
                            drop_rate: float = 0.25, digits: str = "3",
