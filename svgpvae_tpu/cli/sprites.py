@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_dir", type=str, default=None,
                    help="existing run dir to resume from (restores the full "
                         "TrainState from its ckpt/ and skips pretraining)")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the conv nets (VAE + repr net) in bfloat16; "
+                        "GP linear algebra stays float32")
+    p.add_argument("--reshuffle", action="store_true",
+                   help="reshuffle the example order each epoch inside the "
+                        "epoch-scan program (the reference's tf.data "
+                        "semantics); default keeps one fixed batch order "
+                        "(PARITY.md divergence #9)")
     return p
 
 
@@ -139,12 +147,13 @@ def run_experiment(args) -> dict:
     key = jax.random.PRNGKey(args.seed)
     is_svgpvae = "SVGPVAE" in args.elbo
 
-    vae = nets.SpritesVAE(L=args.L)
+    net_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    vae = nets.SpritesVAE(L=args.L, dtype=net_dtype)
     dummy = jnp.zeros((2, 64, 64, 3))
     vae_params = vae.init(key, dummy)
     params = {"vae": vae_params}
 
-    repr_net = nets.SpritesReprNet(L=args.L_character)
+    repr_net = nets.SpritesReprNet(L=args.L_character, dtype=net_dtype)
     if is_svgpvae:
         params["repr"] = repr_net.init(key, dummy)
         if args.PCA:
@@ -303,7 +312,11 @@ def run_experiment(args) -> dict:
         return -out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss})
 
     step_fn = train.make_train_step(loss_fn, tx, donate=False)
-    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
+    # reshuffle permutes CHARACTER blocks (fpc_train consecutive frames),
+    # preserving the segment-mean layout sprites_aux_data requires
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True,
+                                   shuffle=args.reshuffle,
+                                   shuffle_block=fpc_train)
     main_batches = device_batches(batch_size, train_frames_dev,
                                   train_action_dev)
     n_full = main_batches[0].shape[0]

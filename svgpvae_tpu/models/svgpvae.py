@@ -113,8 +113,10 @@ def forward_pass_svgpvae(
 
     is_sprites = repr_apply is not None
     if is_sprites:
+        # the repr net may compute in bfloat16 (--bf16); the GP kernel
+        # matrices built from this aux data need >= float32
         aux_data = sprites_aux_data(repr_apply, repr_params, images,
-                                    aux_data, frames_per_char)
+                                    aux_data, frames_per_char).astype(dtype)
 
     # GP posterior + inside-ELBO, all channels at once
     p_m, p_v, mu_hat, A_hat = gpm.posterior_params(
@@ -187,7 +189,10 @@ def batching_encode_svgpvae(vae, vae_params, images: Array,
     qnet_mu, qnet_var = vae.apply(vae_params, images, method=vae.encode)
     if clip_qs:
         qnet_var = jnp.clip(qnet_var, *QVAR_CLIP)
-    return qnet_mu, qnet_var
+    # encodings condition GP posteriors downstream; keep them >= float32
+    # even when the encoder computes in bfloat16 (--bf16)
+    dt = jnp.promote_types(qnet_mu.dtype, jnp.float32)
+    return qnet_mu.astype(dt), qnet_var.astype(dt)
 
 
 def predict_cgen_mnist(vae, vae_params, gp_params, test_batch,
@@ -261,7 +266,8 @@ def predict_cgen_sprites(vae, vae_params, gp_params, repr_apply, repr_params,
     char_mean = emb.reshape(n_char, n_context, -1).mean(axis=1)
     char_vecs = jnp.repeat(char_mean, fpc - n_context, axis=0)
     aux_target = jnp.concatenate(
-        [tgt_ids.astype(emb.dtype)[:, None], char_vecs], axis=1)
+        [tgt_ids.astype(emb.dtype)[:, None], char_vecs],
+        axis=1).astype(images.dtype)  # GP math >= float32 under --bf16
 
     p_m, p_v = gpm.posterior_from_precomputed(
         gp_params, aux_target, mean_terms, Sigma_inv, Kmm_inv)

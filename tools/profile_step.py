@@ -1,29 +1,39 @@
-"""North-star train-step breakdown (VERDICT r1 item 4 / SURVEY §7 step 8).
+"""Train-step component breakdowns (VERDICT r1 item 4 / r2 item 2).
 
-Times each component of the MNIST SVGPVAE-Hensman GECO step (batch 256,
-L=16, M=8, m=32) as a dispatch-free lax.scan program, so the measurement
-is device compute, not tunnel round-trips:
+Workloads (--workload):
+  mnist    north-star MNIST SVGPVAE-Hensman GECO step (b=256, L=16, M=8,
+           m=32) — the round-2 breakdown, kept for regression comparison.
+  sprites  reference-scale SPRITES step (b=500, 64x64x3, L=64, m=72,
+           L_action=8, L_character=16, repr net in the pass) — the
+           conv-dominated workload (21.9 GFLOP/step) the MNIST
+           latency-bound conclusion does not cover.
 
+Each component is timed as a dispatch-free lax.scan program, so the
+measurement is device compute, not tunnel round-trips:
+
+  repr_fwd      (sprites) character-style repr net on the batch
   encoder_fwd   conv encoder (images -> qnet mu/var)
   decoder_fwd   conv decoder (latents -> images)
   gp_fwd        posterior_params + variational_loss + cross-entropy
   loss_fwd      the whole forward pass
   loss_fwd_bwd  value_and_grad of the loss
   full_step     fwd+bwd + Adam update (== the trained step)
+  full_step_bf16 (sprites) same step with conv nets in bfloat16
 
 Each scanned body perturbs its input by carry*1e-30 and folds its output
 back into the carry, which defeats XLA's loop-invariant code motion
 without changing the numerics measurably.
 
-Also probes the Pallas fused sufficient-stats kernel vs plain XLA at
-TRAINING shapes (n=256/4050, m=32) — the data behind the gp_stats
-dispatch thresholds (ops/gp_stats.py:_MIN_N/_MIN_M).
+The mnist workload also probes the Pallas fused sufficient-stats kernel
+vs plain XLA at TRAINING shapes (n=256/4050, m=32) — the data behind the
+gp_stats dispatch thresholds (ops/gp_stats.py:_MIN_N/_MIN_M).
 
-Writes PROFILE_r02.json at the repo root and prints it.
+Writes PROFILE_r03_<workload>.json at the repo root and prints it.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -67,7 +77,32 @@ def flops_of(fn, *args):
         return None
 
 
-def main():
+def time_components(named_bodies, base_reps):
+    comps = {}
+    for name, body in named_bodies:
+        reps = max(base_reps // 2, 10) if name.startswith("full_step") \
+            else base_reps
+        ms = scan_time(body, reps=reps)
+        comps[name] = {"ms": round(ms, 4)}
+        print(f"# {name}: {ms:.4f} ms", file=sys.stderr, flush=True)
+    return comps
+
+
+def derive_shares(comps):
+    fwd = comps["loss_fwd"]["ms"]
+    conv = comps["encoder_fwd"]["ms"] + comps["decoder_fwd"]["ms"]
+    if "repr_fwd" in comps:
+        conv += comps["repr_fwd"]["ms"]
+    comps["shares_of_forward"] = {
+        "conv_nets": round(conv / fwd, 3),
+        "gp_block": round(comps["gp_fwd"]["ms"] / fwd, 3),
+    }
+    comps["bwd_over_fwd"] = round(comps["loss_fwd_bwd"]["ms"] / fwd, 2)
+    comps["optimizer_ms"] = round(
+        comps["full_step"]["ms"] - comps["loss_fwd_bwd"]["ms"], 4)
+
+
+def mnist_workload(base_reps):
     import jax
     import jax.numpy as jnp
     from svgpvae_tpu import gp as gpm
@@ -144,16 +179,11 @@ def main():
         return (val + sum(jnp.sum(x) for x in
                           jax.tree_util.tree_leaves(new))) * 1e-30
 
-    base_reps = int(os.environ.get("PROFILE_REPS", "200"))
-    comps = {}
-    for name, body in (("encoder_fwd", enc_body), ("decoder_fwd", dec_body),
-                       ("gp_fwd", gp_body), ("loss_fwd", fwd_body),
-                       ("loss_fwd_bwd", fwd_bwd_body),
-                       ("full_step", full_step_body)):
-        ms = scan_time(body, reps=max(base_reps // 2, 10)
-                       if name == "full_step" else base_reps)
-        comps[name] = {"ms": round(ms, 4)}
-        print(f"# {name}: {ms:.4f} ms", file=sys.stderr, flush=True)
+    comps = time_components(
+        (("encoder_fwd", enc_body), ("decoder_fwd", dec_body),
+         ("gp_fwd", gp_body), ("loss_fwd", fwd_body),
+         ("loss_fwd_bwd", fwd_bwd_body), ("full_step", full_step_body)),
+        base_reps)
 
     comps["encoder_fwd"]["flops"] = flops_of(
         lambda x: vae.apply(vae_params, x, method=vae.encode), images)
@@ -163,17 +193,7 @@ def main():
     comps["loss_fwd"]["flops"] = flops_of(
         lambda x: loss_fn(params, x, key, jnp.float32(0.0),
                           jnp.float32(1.0)), images)
-
-    fwd = comps["loss_fwd"]["ms"]
-    comps["shares_of_forward"] = {
-        "conv_nets": round((comps["encoder_fwd"]["ms"]
-                            + comps["decoder_fwd"]["ms"]) / fwd, 3),
-        "gp_block": round(comps["gp_fwd"]["ms"] / fwd, 3),
-    }
-    comps["bwd_over_fwd"] = round(
-        comps["loss_fwd_bwd"]["ms"] / fwd, 2)
-    comps["optimizer_ms"] = round(
-        comps["full_step"]["ms"] - comps["loss_fwd_bwd"]["ms"], 4)
+    derive_shares(comps)
 
     # --- Pallas vs XLA sufficient-stats at training shapes ---
     pallas_rows = {}
@@ -199,11 +219,161 @@ def main():
         pallas_rows[f"n={n},m={m},L={L}"] = row
         print(f"# stats {n}x{m}: {row}", file=sys.stderr, flush=True)
 
-    out = {"device": jax.devices()[0].device_kind,
-           "config": f"b={b}, L={L}, M={M}, m={m} (north-star)",
-           "components": comps,
-           "sufficient_stats_training_shapes": pallas_rows}
-    with open(os.path.join(ROOT, "PROFILE_r02.json"), "w") as f:
+    return {"config": f"b={b}, L={L}, M={M}, m={m} (north-star)",
+            "components": comps,
+            "sufficient_stats_training_shapes": pallas_rows}
+
+
+def sprites_workload(base_reps):
+    """SPRITES reference-scale step (SPRITES_experiment.py:33-39 constants:
+    b=500, 1000 chars, 50 frames/char, 72 actions; arch VAE_utils.py:275-391)."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import gp as gpm
+    from svgpvae_tpu import linalg, models, nn as nets, train
+    from svgpvae_tpu.gp.svgp import SVGPConfig
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    b = int(os.environ.get("PROFILE_B", "500"))  # smoke-test override
+    L, L_act, L_char = 64, 8, 16
+    n_actions, m_char, fpc, N_train = 72, 1, 50, 50000
+    m = n_actions * m_char
+
+    frames = jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32)
+    action_ids = jnp.asarray(
+        np.tile(rng.permutation(n_actions)[:fpc], b // fpc).astype(float),
+        jnp.float32)
+    latents = jnp.asarray(rng.randn(b, L), jnp.float32)
+    mu0 = jnp.asarray(rng.randn(b, L), jnp.float32)
+    var0 = jnp.asarray(rng.rand(b, L) + 0.5, jnp.float32)
+    aux0 = jnp.asarray(np.hstack([
+        rng.randint(0, n_actions, (b, 1)).astype(float),
+        rng.randn(b, L_char)]), jnp.float32)
+
+    gp = gpm.init_sprites_svgp(
+        rng.randn(m, L_act + L_char), rng.randn(n_actions, L_act),
+        L_action=L_act, use_se_kernel=False,
+        config=SVGPConfig(jitter=1e-2, N_train=N_train))
+
+    def build(dtype):
+        vae = nets.SpritesVAE(L=L, dtype=dtype)
+        repr_net = nets.SpritesReprNet(L=L_char, dtype=dtype)
+        vae_params = vae.init(key, jnp.zeros((2, 64, 64, 3)))
+        repr_params = repr_net.init(key, jnp.zeros((2, 64, 64, 3)))
+        params = {"vae": vae_params, "repr": repr_params, "gp": gp}
+        kappa = float(np.sqrt(0.0075))
+
+        def loss_fn(params, frames_, key, C_ma, lam):
+            out = models.forward_pass_svgpvae(
+                vae, params["vae"], params["gp"], (frames_, action_ids),
+                key, beta=0.001, C_ma=C_ma, lagrange_mult=lam, alpha=0.99,
+                kappa=kappa, clip_qs=True, geco=True,
+                repr_apply=repr_net.apply, repr_params=params["repr"],
+                frames_per_char=fpc)
+            return out.elbo
+
+        return vae, repr_net, params, loss_fn
+
+    vae, repr_net, params, loss_fn = build(jnp.float32)
+    tx = train.make_optimizer(1e-3)
+    opt_state = tx.init(params)
+
+    def repr_body(c):
+        emb = repr_net.apply(params["repr"], frames + c * 1e-30)
+        return jnp.sum(emb) * 1e-30
+
+    def enc_body(c):
+        mu, var = vae.apply(params["vae"], frames + c * 1e-30,
+                            method=vae.encode)
+        return jnp.sum(mu) * 1e-30
+
+    def dec_body(c):
+        out = vae.apply(params["vae"], latents + c * 1e-30,
+                        method=vae.decode)
+        return jnp.sum(out) * 1e-30
+
+    def gp_body(c):
+        mu = mu0 + c * 1e-30
+        p_m, p_v, mu_hat, A_hat = gpm.posterior_params(gp, aux0, aux0, mu,
+                                                       var0)
+        s, k = gpm.variational_loss(gp, aux0, mu, var0, mu_hat, A_hat)
+        ce = jnp.sum(linalg.gauss_cross_entropy(
+            p_m, jnp.maximum(p_v, 1e-6), mu, var0))
+        return (jnp.sum(s) + jnp.sum(k) + ce) * 1e-30
+
+    def fwd_body(c):
+        return loss_fn(params, frames + c * 1e-30, key,
+                       jnp.float32(0.0), jnp.float32(1.0)) * 1e-30
+
+    def fwd_bwd_body(c):
+        val, grads = jax.value_and_grad(loss_fn)(
+            params, frames + c * 1e-30, key, jnp.float32(0.0),
+            jnp.float32(1.0))
+        return (val + sum(jnp.sum(g) for g in
+                          jax.tree_util.tree_leaves(grads))) * 1e-30
+
+    def make_full_step(loss_fn_, params_):
+        def full_step_body(c):
+            val, grads = jax.value_and_grad(loss_fn_)(
+                params_, frames + c * 1e-30, key, jnp.float32(0.0),
+                jnp.float32(1.0))
+            updates, _ = tx.update(grads, opt_state, params_)
+            new = jax.tree_util.tree_map(lambda p, u: p + u, params_,
+                                         updates)
+            return (val + sum(jnp.sum(x) for x in
+                              jax.tree_util.tree_leaves(new))) * 1e-30
+        return full_step_body
+
+    comps = time_components(
+        (("repr_fwd", repr_body), ("encoder_fwd", enc_body),
+         ("decoder_fwd", dec_body), ("gp_fwd", gp_body),
+         ("loss_fwd", fwd_body), ("loss_fwd_bwd", fwd_bwd_body),
+         ("full_step", make_full_step(loss_fn, params))),
+        base_reps)
+
+    # bfloat16 conv nets, same params (flax param_dtype stays float32)
+    _, _, params16, loss16 = build(jnp.bfloat16)
+    params16 = {**params16, "vae": params["vae"], "repr": params["repr"]}
+    ms16 = scan_time(make_full_step(loss16, params16),
+                     reps=max(base_reps // 2, 10))
+    comps["full_step_bf16"] = {"ms": round(ms16, 4)}
+    comps["bf16_step_speedup"] = round(comps["full_step"]["ms"] / ms16, 3)
+    print(f"# full_step_bf16: {ms16:.4f} ms", file=sys.stderr, flush=True)
+
+    comps["repr_fwd"]["flops"] = flops_of(
+        lambda x: repr_net.apply(params["repr"], x), frames)
+    comps["encoder_fwd"]["flops"] = flops_of(
+        lambda x: vae.apply(params["vae"], x, method=vae.encode), frames)
+    comps["decoder_fwd"]["flops"] = flops_of(
+        lambda z: vae.apply(params["vae"], z, method=vae.decode), latents)
+    comps["gp_fwd"]["flops"] = flops_of(gp_body, np.float32(0.0))
+    comps["loss_fwd"]["flops"] = flops_of(
+        lambda x: loss_fn(params, x, key, jnp.float32(0.0),
+                          jnp.float32(1.0)), frames)
+    derive_shares(comps)
+
+    return {"config": f"b={b}, 64x64x3, L={L}, m={m}, L_action={L_act}, "
+                      f"L_character={L_char} (reference scale)",
+            "components": comps}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", choices=["mnist", "sprites"],
+                   default="mnist")
+    args = p.parse_args()
+
+    import jax
+    base_reps = int(os.environ.get("PROFILE_REPS", "200"))
+    if args.workload == "sprites":
+        base_reps = min(base_reps, 50)  # ~10 ms/step; keep programs short
+        out = sprites_workload(base_reps)
+    else:
+        out = mnist_workload(base_reps)
+    out = {"device": jax.devices()[0].device_kind, **out}
+    path = os.path.join(ROOT, f"PROFILE_r03_{args.workload}.json")
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
