@@ -6,10 +6,14 @@ L=16, M=8, m=32 inducing points (MNIST_experiment.py defaults :1128-1158),
 measured on the jitted EPOCH runner (lax.scan over a device-resident
 pre-batched dataset — svgpvae_tpu.train.make_epoch_fn).
 
-The `suite` field carries the rest (VERDICT r1 item 3):
+The `suite` field carries the rest (VERDICT r1 item 3, r2 item 7):
   * mnist_train        — steps/s, ms/step, XLA-counted FLOPs/step, MFU
+  * mnist_eval         — the driver's full eval pass group (recon stacks
+                         + full-train encode + cgen), ms per pass
   * sprites_train      — SPRITES train step at reference scale
                          (batch 500, 64x64x3, L=64, m=72 IPs)
+  * sprites_eval       — the SPRITES eval pass (test_character recon +
+                         encode + precompute + cgen), ms per pass
   * sprites_precompute — the n=50k sufficient-statistics contraction,
                          Pallas fused kernel vs plain-XLA einsum
   * ball_train         — moving-ball sample->train chunk throughput
@@ -301,6 +305,203 @@ def bench_sprites_train(peak):
     }
 
 
+def bench_mnist_eval(peak):
+    """The MNIST eval pass group as the driver runs it (cli/mnist.py):
+    eval-set recon + test-set recon as lax.map programs, full-train
+    encode as one lax.map program, then conditional generation at the
+    held-out angle conditioned on ALL 4050 train encodings.  This was the
+    round-2 wall-clock win (1000-epoch run 610 s -> 274 s) — this line
+    regression-guards it."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import gp as gpm
+    from svgpvae_tpu import models, nn as nets, train
+    from svgpvae_tpu.gp.svgp import SVGPConfig
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    L, M, m, n_obj, N_train = 16, 8, 32, 400, 4050
+    b_tr, n_tr = 270, 15          # 4050 = 15 x 270 train-encode chunks
+    b_ev, n_ev = 320, 2           # N_eval = 640
+    b_te, n_te = 270, 1           # N_test = 270
+    if SMOKE:
+        b_tr, n_tr, b_ev, n_ev = 64, 2, 64, 1
+
+    vae = nets.MnistVAE(L=L)
+    vae_params = vae.init(key, jnp.zeros((2, 28, 28, 1)))
+    ip = np.hstack([np.arange(m)[:, None], rng.rand(m, 1) * 2 * np.pi,
+                    rng.randn(m, M)])
+    gp = gpm.init_mnist_svgp(ip, rng.randn(n_obj, M),
+                             config=SVGPConfig(jitter=1e-6, N_train=N_train))
+    params = {"vae": vae_params, "gp": gp}
+    kappa = float(np.sqrt(0.02))
+
+    def aux_block(n):
+        return np.hstack([rng.randint(0, n_obj, (n, 1)).astype(float),
+                          rng.rand(n, 1) * 2 * np.pi, rng.randn(n, M)])
+
+    train_imgs = jnp.asarray(rng.rand(n_tr, b_tr, 28, 28, 1), jnp.float32)
+    aux_train = jnp.asarray(aux_block(n_tr * b_tr), jnp.float32)
+    eval_stack = (jnp.asarray(rng.rand(n_ev, b_ev, 28, 28, 1), jnp.float32),
+                  jnp.asarray(np.stack([aux_block(b_ev)
+                                        for _ in range(n_ev)]), jnp.float32))
+    test_stack = (jnp.asarray(rng.rand(n_te, b_te, 28, 28, 1), jnp.float32),
+                  jnp.asarray(np.stack([aux_block(b_te)
+                                        for _ in range(n_te)]), jnp.float32))
+
+    geco = train.GECOState(C_ma=jnp.float32(0.0),
+                           lagrange_mult=jnp.float32(1.0))
+
+    @jax.jit
+    def recon_stack_fn(params, stack, key, geco):
+        def body(batch):
+            out = models.forward_pass_svgpvae(
+                vae, params["vae"], params["gp"], batch, key, beta=0.001,
+                C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult,
+                alpha=0.99, kappa=kappa, clip_qs=True, geco=True)
+            return out.recon_loss
+        return jnp.sum(jax.lax.map(body, stack))
+
+    @jax.jit
+    def encode_stack_fn(params, images_stack):
+        mus, vs = jax.lax.map(
+            lambda im: models.batching_encode_svgpvae(
+                vae, params["vae"], im, clip_qs=True), images_stack)
+        return (mus.reshape(-1, mus.shape[-1]), vs.reshape(-1, vs.shape[-1]))
+
+    @jax.jit
+    def cgen_stack_fn(params, stack, means, variances, aux_train, key):
+        def body(b):
+            _, loss = models.predict_cgen_mnist(
+                vae, params["vae"], params["gp"], b, means, variances,
+                aux_train, key)
+            return loss
+        return jnp.sum(jax.lax.map(body, stack))
+
+    def eval_group():
+        ev = recon_stack_fn(params, eval_stack, key, geco)
+        te = recon_stack_fn(params, test_stack, key, geco)
+        mus, vs = encode_stack_fn(params, train_imgs)
+        cg = cgen_stack_fn(params, test_stack, mus, vs, aux_train, key)
+        return float(ev) + float(te) + float(cg)  # force full chain
+
+    final = eval_group()  # warmup/compile
+    reps = 2 if SMOKE else 15
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        final = eval_group()
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final), "mnist eval produced non-finite values"
+    return {
+        "eval_ms": round(elapsed / reps * 1e3, 2),
+        "config": f"recon {n_ev}x{b_ev}+{n_te}x{b_te}, encode "
+                  f"{n_tr}x{b_tr}, cgen vs {n_tr * b_tr} train encodings",
+    }
+
+
+def bench_sprites_eval(peak):
+    """The SPRITES eval pass as the driver runs it (cli/sprites.py):
+    test_character recon over stacked 576-frame batches + full-train
+    encode + GP-params precompute + conditional generation, each stage a
+    lax.map program.  Guards the round-2 662 s -> 159 s eval rework.
+    Data is device-generated (no tunnel upload); train encode covers a
+    10k-frame slice — the n=50k precompute contraction has its own
+    line (sprites_precompute)."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import gp as gpm
+    from svgpvae_tpu import models, nn as nets, train
+    from svgpvae_tpu.gp.svgp import SVGPConfig
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    L, L_action, L_char = 64, 8, 16
+    n_actions, fpc, b_tc = 72, 50, 576
+    n_tc, b_tr, n_tr = 6, 500, 20
+    if SMOKE:
+        n_tc, b_tr, n_tr = 1, 100, 2
+
+    vae = nets.SpritesVAE(L=L)
+    vae_params = vae.init(key, jnp.zeros((2, 64, 64, 3)))
+    repr_net = nets.SpritesReprNet(L=L_char)
+    repr_params = repr_net.init(key, jnp.zeros((2, 64, 64, 3)))
+    gp = gpm.init_sprites_svgp(
+        rng.normal(0, 1.5, (n_actions, L_action + L_char)),
+        rng.normal(0, 1.5, (n_actions, L_action)), L_action=L_action,
+        config=SVGPConfig(jitter=1e-6, N_train=n_tr * b_tr))
+    params = {"vae": vae_params, "repr": repr_params, "gp": gp}
+
+    k1, k2 = jax.random.split(key)
+    tc_frames = jax.random.uniform(k1, (n_tc, b_tc, 64, 64, 3))
+    tc_actions = jnp.tile(jnp.arange(n_actions, dtype=jnp.float32),
+                          (n_tc, b_tc // n_actions))
+    tr_frames = jax.random.uniform(k2, (n_tr, b_tr, 64, 64, 3))
+    tr_actions = jnp.asarray(
+        rng.randint(0, n_actions, (n_tr, b_tr)), jnp.float32)
+
+    @jax.jit
+    def test_recon_losses_fn(params, frames_st, action_st, key):
+        def body(b):
+            out = models.forward_pass_svgpvae(
+                vae, params["vae"], params["gp"], b, key, beta=0.001,
+                C_ma=jnp.float32(0.0), lagrange_mult=jnp.float32(1.0),
+                alpha=0.99, kappa=float(np.sqrt(0.02)), clip_qs=True,
+                geco=True, repr_apply=repr_net.apply,
+                repr_params=params["repr"], frames_per_char=n_actions)
+            return out.recon_loss
+        return jnp.sum(jax.lax.map(body, (frames_st, action_st)))
+
+    @jax.jit
+    def encode_all_fn(params, frames_st, action_st):
+        def enc(fb):
+            mu, var = models.batching_encode_svgpvae(
+                vae, params["vae"], fb[0], clip_qs=True)
+            aux = models.sprites_aux_data(repr_net.apply, params["repr"],
+                                          fb[0], fb[1], fpc)
+            return mu, var, aux
+        mus, vs, auxs = jax.lax.map(enc, (frames_st, action_st))
+        return (mus.reshape(-1, mus.shape[-1]), vs.reshape(-1, vs.shape[-1]),
+                auxs.reshape(-1, auxs.shape[-1]))
+
+    @jax.jit
+    def precompute_fn(params, means, variances, aux):
+        return models.precompute_gp_params(params["gp"], means, variances,
+                                           aux)
+
+    @jax.jit
+    def cgen_losses_fn(params, frames_st, action_st, mean_terms, sigma_inv,
+                       kmm_inv, key):
+        def body(b):
+            _, _, loss = models.predict_cgen_sprites(
+                vae, params["vae"], params["gp"], repr_net.apply,
+                params["repr"], b[0], b[1], mean_terms, sigma_inv, kmm_inv,
+                n_context=36, n_actions_total=n_actions, key=key)
+            return loss
+        return jnp.sum(jax.lax.map(body, (frames_st, action_st)))
+
+    def eval_pass():
+        te = test_recon_losses_fn(params, tc_frames, tc_actions, key)
+        means, variances, auxs = encode_all_fn(params, tr_frames, tr_actions)
+        mean_terms, sigma_inv, kmm_inv = precompute_fn(params, means,
+                                                       variances, auxs)
+        cg = cgen_losses_fn(params, tc_frames, tc_actions, mean_terms,
+                            sigma_inv, kmm_inv, key)
+        return float(te) + float(cg)
+
+    final = eval_pass()  # warmup/compile
+    reps = 2 if SMOKE else 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        final = eval_pass()
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final), "sprites eval produced non-finite values"
+    return {
+        "eval_ms": round(elapsed / reps * 1e3, 2),
+        "config": f"recon {n_tc}x{b_tc} + encode {n_tr}x{b_tr} + "
+                  f"precompute(n={n_tr * b_tr}) + cgen, m={n_actions}",
+    }
+
+
 def bench_sprites_precompute():
     """The full-train-set sufficient-statistics contraction behind the
     SPRITES test pipeline (precompute_GP_params): Pallas fused kernel vs
@@ -473,14 +674,22 @@ def bench_batch_scaling(peak):
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
-    _watchdog(2100 if scaling else 780)
+    _watchdog(2400 if scaling else 1140)
+    # import the package BEFORE jax so an explicit JAX_PLATFORMS=cpu is
+    # honored (svgpvae_tpu.__init__ re-asserts it over the axon tunnel's
+    # sitecustomize hook).  Without the env var, bench runs on the chip
+    # as before.  This makes CPU smoke runs actually stay off the TPU —
+    # two processes on the tunnel at once can wedge it (CLAUDE.md).
+    import svgpvae_tpu  # noqa: F401
     import jax
 
     peak = _peak_flops()
     only = os.environ.get("BENCH_ONLY")  # comma-separated workload filter
     suite = {}
     for name, fn in (("mnist_train", lambda: bench_mnist(peak)),
+                     ("mnist_eval", lambda: bench_mnist_eval(peak)),
                      ("sprites_train", lambda: bench_sprites_train(peak)),
+                     ("sprites_eval", lambda: bench_sprites_eval(peak)),
                      ("sprites_precompute", bench_sprites_precompute),
                      ("ball_train", lambda: bench_ball(peak))):
         if only and name not in only.split(","):
