@@ -1,0 +1,66 @@
+"""End-to-end SPRITES ingestion + training (VERDICT r2 item 5).
+
+Drives the REAL-corpus ingestion chain the synthetic generator bypasses:
+a tiny fake raw corpus with the external repo's npy conventions ->
+preprocess_sprites -> save_sprites_shards -> load_sprites -> the full CLI
+driver (pretraining + GECO training + test_character recon/cgen).
+Reference: preprocess_sprite_SVGPVAE + save_sprites + import_sprites
+(SPRITES_utils.py:45-214).
+"""
+
+import numpy as np
+import pytest
+
+from svgpvae_tpu import data
+from svgpvae_tpu.cli import sprites as sprites_cli
+
+T, N_ATTR = 8, 4
+
+
+def _fake_raw_corpus(n_chars, seqs_per_char, rng):
+    """sprites_act-style arrays: x (seqs, T, 64, 64, 3), attributes
+    (seqs, T, n_attr, 6), actions (seqs, T, 9)."""
+    x, a, d = [], [], []
+    for c in range(n_chars):
+        attr = np.zeros((1, N_ATTR, 6))
+        attr[0, np.arange(N_ATTR), [c % 6, (c + 1) % 6, (c + 2) % 6,
+                                    (c + 3) % 6]] = 1
+        for s in range(seqs_per_char):
+            x.append(rng.rand(T, 64, 64, 3).astype(np.float32))
+            a.append(np.tile(attr, (T, 1, 1)))
+            act = np.zeros((1, 9))
+            act[0, s % 9] = 1
+            d.append(np.tile(act, (T, 1)))
+    return np.stack(x), np.stack(a), np.stack(d)
+
+
+def test_raw_corpus_to_training(tmp_path):
+    rng = np.random.RandomState(0)
+    x_tr, a_tr, d_tr = _fake_raw_corpus(3, 9, rng)   # 3 chars x 72 frames
+    x_te, a_te, d_te = _fake_raw_corpus(2, 9, rng)
+
+    splits = data.preprocess_sprites(x_tr, a_tr, d_tr, x_te, a_te, d_te,
+                                     n_frames_train=50)
+    shard_dir = tmp_path / "sprites_data"
+    # small shard size so every split spans MULTIPLE shards (the loader
+    # must reassemble them in numeric order)
+    data.save_sprites_shards(splits, str(shard_dir), shard_size=64)
+    assert len(list((shard_dir / "train").glob("*.npz"))) > 1
+
+    loaded = data.load_sprites(str(shard_dir))
+    for split in ("train", "test_action", "test_character"):
+        np.testing.assert_array_equal(loaded[split]["frames"],
+                                      splits[split]["frames"])
+        np.testing.assert_array_equal(loaded[split]["aux_data"],
+                                      splits[split]["aux_data"])
+
+    args = sprites_cli.build_parser().parse_args([
+        "--elbo", "SVGPVAE_Hensman", "--GECO", "--clip_qs",
+        "--sprites_data_path", str(shard_dir),
+        "--batch_size", "150", "--batch_size_repr_nn", "150",
+        "--opt_regime", "joint-2", "--eval_every", "2",
+        "--nr_epochs_repr_nn", "2", "--m", "1", "--L", "16",
+        "--L_character", "8", "--L_action", "4"])
+    out = sprites_cli.run_experiment(args)
+    assert "best_cgen_mse" in out
+    assert np.isfinite(out["best_cgen_mse"])

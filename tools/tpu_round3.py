@@ -1,0 +1,137 @@
+"""Round-3 one-process TPU work queue (one chip, one process at a time;
+the tunnel wedges if two processes claim it or one is hard-killed —
+see CLAUDE.md).
+
+Wave 1 (VERDICT r2 item 1 — close the Hensman-vs-SVIGP cgen gap):
+  sweep GECO kappa^2 around the reference default 0.020, extend epochs
+  to 2000 (SVIGP's canonical count, reference README.md:47), probe the
+  GECO lambda cap and a lower lr at 2000 epochs.  Each 1000-epoch
+  north-star run is ~274 s wall (RESULTS.md), so the whole wave is ~1 h.
+
+Wave 2 (item 2 — SPRITES step profile + bf16): run after the sprites
+  CLI grows --bf16 and profile_step grows a sprites mode.
+
+Usage: python tools/tpu_round3.py --wave 1 [--only NAME,..] [--skip NAME,..]
+Logs: /tmp/r03_logs/<name>.log
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOGDIR = "/tmp/r03_logs"
+MNIST = "/tmp/mnist_data/"
+SPRITES = "/tmp/sprites_data/"
+
+
+def run(name, cmd, timeout):
+    os.makedirs(LOGDIR, exist_ok=True)
+    log = os.path.join(LOGDIR, f"{name}.log")
+    print(f":: [{name}] {' '.join(cmd)} (timeout {timeout}s)", flush=True)
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    t0 = time.time()
+    with open(log, "w") as f:
+        # graceful on timeout: SIGINT -> grace -> SIGKILL.  A hard kill
+        # mid-device-call wedges the tunnel's remote grant for ~15-30 min.
+        p = subprocess.Popen(cmd, env=env, stdout=f,
+                             stderr=subprocess.STDOUT)
+        killed = False
+        try:
+            code = p.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            import signal as _signal
+            p.send_signal(_signal.SIGINT)
+            try:
+                code = p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                code = p.wait()
+                killed = True
+    dt = time.time() - t0
+    if killed:
+        print(f":: [{name}] hard-killed after timeout; sleeping 300s for "
+              "the device grant to clear", flush=True)
+        time.sleep(300)
+    tail = ""
+    try:
+        with open(log) as f:
+            lines = [ln.rstrip() for ln in f.readlines() if ln.strip()]
+        tail = " | ".join(lines[-3:])
+    except OSError:
+        pass
+    print(f":: [{name}] exit {code} in {dt:.0f}s :: {tail}", flush=True)
+    time.sleep(30)  # let the remote grant tear down before the next claim
+    return code
+
+
+def mnist_job(expid, extra, epochs=1000, timeout=1500):
+    """North-star Hensman config with overrides (reference README.md:33)."""
+    py = sys.executable
+    cmd = [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo", "SVGPVAE_Hensman",
+           "--GECO", "--PCA", "--ip_joint", "--GP_joint", "--ov_joint",
+           "--clip_qs", "--mnist_data_path", MNIST,
+           "--opt_regime", f"joint-{epochs}", "--eval_every", "50",
+           "--base_dir", "/tmp/mnist_tpu", "--expid", expid, *extra]
+    return (expid, cmd, timeout)
+
+
+def wave1():
+    return [
+        # Longer training first: round-2 best cgen was still improving at
+        # epoch 999 while SVIGP's 0.0264 had 2000 epochs.
+        mnist_job("hensman_2k", [], epochs=2000, timeout=2400),
+        # kappa^2 sweep around the reference default 0.020
+        # (MNIST_experiment.py:1150); smaller kappa = tighter recon
+        # constraint = GECO spends longer reconstruction-dominated.
+        mnist_job("kappa014", ["--kappa_squared", "0.014"]),
+        mnist_job("kappa016", ["--kappa_squared", "0.016"]),
+        mnist_job("kappa018", ["--kappa_squared", "0.018"]),
+        mnist_job("kappa023", ["--kappa_squared", "0.023"]),
+        # lambda-cap sensitivity (PARITY divergence #1)
+        mnist_job("lmax1e6", ["--geco_lambda_max", "1e6"]),
+        # lower lr with the 2x epoch budget
+        mnist_job("lr5e4_2k", ["--lr", "0.0005"], epochs=2000,
+                  timeout=2400),
+    ]
+
+
+def wave2():
+    py = sys.executable
+    sp = [py, "-m", "svgpvae_tpu.cli.sprites", "--elbo", "SVGPVAE_Hensman",
+          "--GECO", "--clip_qs", "--synthetic", "--sprites_data_path",
+          SPRITES, "--ip_joint", "--GPLVM_joint", "--PCA",
+          "--object_kernel_normalize", "--clip_grad",
+          "--opt_regime", "joint-30", "--eval_every", "5",
+          "--nr_epochs_repr_nn", "40", "--base_dir", "/tmp/sprites_tpu"]
+    return [
+        ("sprites_profile",
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "sprites"], 1800),
+        ("sprites_f32", [*sp, "--expid", "r3_f32"], 2400),
+        ("sprites_bf16", [*sp, "--bf16", "--expid", "r3_bf16"], 2400),
+    ]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--wave", type=int, required=True)
+    p.add_argument("--only", type=str, default=None)
+    p.add_argument("--skip", type=str, default="")
+    args = p.parse_args()
+
+    jobs = {1: wave1, 2: wave2}[args.wave]()
+    only = set(args.only.split(",")) if args.only else None
+    skip = set(args.skip.split(",")) if args.skip else set()
+    for name, cmd, timeout in jobs:
+        if (only and name not in only) or name in skip:
+            continue
+        run(name, cmd, timeout)
+
+
+if __name__ == "__main__":
+    main()
