@@ -55,6 +55,10 @@ REFERENCE_TF_CPU_STEP_SEC = 0.62  # estimate; superseded by measurement
 # harness itself; the numbers it prints are meaningless as benchmarks)
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
+# BENCH_GP_IMPL={reference,fused,fused_pallas} selects the GP-block
+# implementation for the train workloads (gp/fused.py head-to-head)
+GP_IMPL = os.environ.get("BENCH_GP_IMPL", "reference")
+
 PEAK_FLOPS = (  # bf16 MXU peak per chip, by device_kind substring
     ("v5 lite", 197.0e12),
     ("v5e", 197.0e12),
@@ -198,7 +202,7 @@ def bench_mnist(peak):
         out = models.forward_pass_svgpvae(
             vae, params["vae"], params["gp"], batch, key, beta=0.001,
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
-            kappa=kappa, clip_qs=True, geco=True)
+            kappa=kappa, clip_qs=True, geco=True, gp_block_impl=GP_IMPL)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
         return out.elbo, (new_geco, {"recon": out.recon_loss})
@@ -273,7 +277,7 @@ def bench_sprites_train(peak):
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
             kappa=kappa, clip_qs=True, geco=True,
             repr_apply=repr_net.apply, repr_params=params["repr"],
-            frames_per_char=fpc)
+            frames_per_char=fpc, gp_block_impl=GP_IMPL)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
         return out.elbo, (new_geco, {"recon": out.recon_loss})
@@ -714,7 +718,8 @@ def main() -> None:
         "peak_flops_bf16": peak,
         "suite": suite,
     }
-    nonstandard = SMOKE or only or os.environ.get("BENCH_BF16")
+    nonstandard = (SMOKE or only or os.environ.get("BENCH_BF16")
+                   or GP_IMPL != "reference")
     if steps_per_sec > 0 and not nonstandard:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LAST_GOOD.json"), "w") as f:

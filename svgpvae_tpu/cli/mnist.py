@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of one post-warmup "
                         "epoch to this directory (view with xprof)")
+    p.add_argument("--gp_block_impl", type=str, default="reference",
+                   choices=["reference", "fused", "fused_pallas"],
+                   help="GP-block implementation for the Hensman training "
+                        "forward: two-pass reference structure, one-pass "
+                        "fused XLA block, or fused with the Pallas inverse "
+                        "megakernel (gp/fused.py)")
     p.add_argument("--synthetic_digits", action="store_true",
                    help="allow multi-digit --dataset values to bootstrap "
                         "from synthetic seven-segment glyph base images "
@@ -265,7 +271,8 @@ def run_svgpvae(args) -> dict:
             vae, params["vae"], params["gp"], batch, key, beta=args.beta,
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
             kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
-            bias_analysis=args.bias_analysis)
+            bias_analysis=args.bias_analysis,
+            gp_block_impl=args.gp_block_impl)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
         loss = out.elbo if args.GECO else -out.elbo
@@ -311,7 +318,8 @@ def run_svgpvae(args) -> dict:
             vae, params["vae"], params["gp"], batch, key, beta=args.beta,
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult,
             alpha=args.alpha, kappa=kappa, clip_qs=args.clip_qs,
-            geco=args.GECO, lagrange_max=args.geco_lambda_max)
+            geco=args.GECO, lagrange_max=args.geco_lambda_max,
+            gp_block_impl=args.gp_block_impl)
         return out
 
     @jax.jit

@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run the conv nets (VAE + repr net) in bfloat16; "
                         "GP linear algebra stays float32")
+    p.add_argument("--gp_block_impl", type=str, default="reference",
+                   choices=["reference", "fused", "fused_pallas"],
+                   help="GP-block implementation for the Hensman training "
+                        "forward (see gp/fused.py)")
     p.add_argument("--reshuffle", action="store_true",
                    help="reshuffle the example order each epoch inside the "
                         "epoch-scan program (the reference's tf.data "
@@ -296,7 +300,7 @@ def run_experiment(args) -> dict:
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
             kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
             repr_apply=repr_net.apply, repr_params=params["repr"],
-            frames_per_char=fpc)
+            frames_per_char=fpc, gp_block_impl=args.gp_block_impl)
 
     def loss_fn(params, batch, key, geco, step):
         if is_svgpvae:

@@ -1,0 +1,139 @@
+"""Fused GP block for the SVGPVAE training step (VERDICT r2 item 3).
+
+The reference (and the round-1/2 port of it) computes the per-step GP
+quantities in two passes — `approximate_posterior_params`
+(SVGPVAE_model.py:303-343) then `variational_loss` (:261-301) — each
+rebuilding kernel matrices and factorizations.  In the training forward
+the posterior is evaluated AT the minibatch points (aux_test == aux_train,
+forward_pass_SVGPVAE :868-879), which makes several quantities literally
+identical across the two passes:
+
+  mean_vector_l = K_nm K_mm^{-1} mu_hat_l = scale * K_nm Sigma_l^{-1} r_l
+                = p_m(train points)                      [':276' == ':336']
+  w_i^T A_hat_l w_i = K_nm,i Sigma_l^{-1} K_mn,i = sig_quad(train)_il
+  k_tilde = K_nn_diag - nystrom(train)
+
+and the KL( N(mu_hat, A_hat) || N(0, K_mm) ) with A_hat = K Sigma^{-1} K
+closes over the Sigma factorization alone:
+
+  logdet A_hat = 2 logdet K_mm - logdet Sigma_l
+  tr(K_mm^{-1} A_hat) = tr(Sigma_l^{-1} K_mm)
+  mu_hat^T K_mm^{-1} mu_hat = scale^2 * sir_l^T K_mm sir_l
+
+so the third batched Cholesky (of A_hat, inside mvn_kl_against_prior) and
+the three W-based einsums disappear.  What remains per step is ONE
+batched factorization of the (L+1, m, m) stack [K_mm; Sigma_1..L] plus
+MXU einsums.
+
+`inverse_impl="pallas"` additionally replaces the Cholesky + four
+triangular-solve chains with one Pallas kernel producing explicit
+inverses + logdets (ops.chol_inverse) whose custom VJP is two batched
+matmuls — collapsing the ~40-small-op GP block the round-2 profile
+identified as the latency bottleneck (PROFILE_r02.json: 0.321 ms of a
+0.346 ms forward) into a single fused program region.
+
+Numerical notes: jitter policy is identical to the unfused path
+(absolute cfg.jitter on K_mm; absolute + max-diagonal-relative on Sigma,
+gp/svgp.py:_sigma_cholesky).  The closed-form logdet identity drops the
+extra `jitter` the unfused KL adds to A_hat before refactorizing it —
+an O(jitter/lambda_min(A_hat)) perturbation, below f32 noise (parity
+tests pin both paths to each other and to naive float64).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from svgpvae_tpu import linalg
+from svgpvae_tpu.ops.gp_stats import gp_stats
+
+
+@linalg.precise
+def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
+                     inverse_impl: str = "chol"):
+    """Posterior params + Hensman inside-ELBO terms in one pass.
+
+    aux: (b, D) minibatch index points; y/noise: (b, L) encoder means /
+    variances.  Returns (p_m (b, L), p_v (b, L), sum_terms (L,),
+    kl_terms (L,), mu_hat (L, m)).
+
+    Equivalent to
+        posterior_params(gp, aux, aux, y, noise) +
+        hensman_terms(gp, ..., mu_hat, A_hat)
+    (tests/test_fused_gp.py pins outputs AND gradients to that path).
+    """
+    cfg = gp.config
+    b, L = y.shape
+    dtype = y.dtype
+    scale = (cfg.N_train / b) if cfg.N_train else 1.0
+
+    z = gp.inducing_points
+    m = z.shape[0]
+    Kmm = gp.kmat(z, z)                                   # (m, m)
+    Knm = gp.kmat(aux, z, x_inducing=False)               # (b, m)
+    Knn_diag = gp.kdiag(aux, aux, x_inducing=False,
+                        y_inducing=False)                 # (b,)
+
+    precision = linalg.reciprocal_no_nan(noise)           # (b, L)
+    sigma_contrib, r = gp_stats(Knm, precision, precision * y)
+    Sigma = Kmm[None] + scale * sigma_contrib             # (L, m, m)
+
+    # jitter exactly as the unfused path: absolute on K_mm
+    # (kernel_matrices), absolute + max-diag relative on Sigma
+    # (_sigma_cholesky)
+    sig_jitter = cfg.jitter
+    if cfg.sigma_rel_jitter:
+        diag_scale = jnp.max(jnp.diagonal(Sigma, axis1=-2, axis2=-1))
+        sig_jitter = sig_jitter + cfg.sigma_rel_jitter * diag_scale
+    M = jnp.concatenate([
+        linalg.add_jitter(Kmm, cfg.jitter)[None],
+        linalg.add_jitter(Sigma, sig_jitter)], axis=0)    # (L+1, m, m)
+
+    if inverse_impl == "pallas":
+        from svgpvae_tpu.ops.chol_inverse import chol_inverse
+        Minv, logdets = chol_inverse(M)
+        Kmm_inv, Sigma_inv = Minv[0], Minv[1:]
+        logdet_K, logdet_S = logdets[0], logdets[1:]
+        sir = jnp.einsum("lmp,lp->lm", Sigma_inv, r)            # (L, m)
+        W_ny = Kmm_inv @ Knm.T                                  # (m, b)
+        SigInv_Kmn = jnp.einsum("lmp,bp->lmb", Sigma_inv, Knm)  # (L, m, b)
+        tr_SiK = jnp.sum(Sigma_inv * Kmm[None], axis=(-2, -1))  # (L,)
+    else:
+        chol = jnp.linalg.cholesky(M)
+        Kmm_chol, Sigma_chol = chol[0], chol[1:]
+        logdet_K = linalg.logdet_from_chol(Kmm_chol)
+        logdet_S = linalg.logdet_from_chol(Sigma_chol)
+        sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]
+        W_ny = linalg.cho_solve(Kmm_chol, Knm.T)
+        SigInv_Kmn = linalg.cho_solve(
+            Sigma_chol, jnp.broadcast_to(Knm.T, (L,) + Knm.T.shape))
+        tr_SiK = jnp.trace(
+            linalg.cho_solve(Sigma_chol, jnp.broadcast_to(Kmm, Sigma.shape)),
+            axis1=-2, axis2=-1)
+
+    # posterior at the batch points (== the Hensman mean vector / wAw)
+    p_m = scale * jnp.einsum("bm,lm->bl", Knm, sir)       # (b, L)
+    nystrom = jnp.sum(Knm * W_ny.T, axis=-1)              # (b,)
+    sig_quad = jnp.einsum("bm,lmb->bl", Knm, SigInv_Kmn)  # (b, L)
+    k_tilde = Knn_diag - nystrom                          # (b,)
+    p_v = k_tilde[:, None] + sig_quad                     # (b, L)
+
+    log2pi = jnp.asarray(linalg.LOG_2PI, dtype)
+    sum_terms = -0.5 * (
+        jnp.sum(precision * k_tilde[:, None], axis=0)
+        + jnp.sum(precision * sig_quad, axis=0)
+        + jnp.sum(jnp.log(noise), axis=0)
+        + b * log2pi
+        + jnp.sum(precision * (y - p_m) ** 2, axis=0)
+    )                                                     # (L,)
+
+    # KL( N(mu_hat, K Sigma^{-1} K) || N(0, K) ) via the logdet identity
+    quad = scale * scale * jnp.einsum("lm,mp,lp->l", sir, Kmm, sir)
+    kl_terms = 0.5 * (tr_SiK + quad
+                      - jnp.asarray(m, dtype)
+                      - logdet_K + logdet_S)              # (L,)
+
+    mu_hat = scale * jnp.einsum("mp,lp->lm", Kmm, sir)    # (L, m)
+    return p_m, p_v, sum_terms, kl_terms, mu_hat

@@ -70,7 +70,8 @@ def forward_pass_svgpvae(
         clip_qs: bool = True, geco: bool = False,
         repr_apply=None, repr_params=None, frames_per_char: int = 0,
         bias_analysis: bool = False,
-        lagrange_max: float = 1e5) -> SVGPVAEOutputs:
+        lagrange_max: float = 1e5,
+        gp_block_impl: str = "reference") -> SVGPVAEOutputs:
     """Training forward pass (reference: forward_pass_SVGPVAE,
     SVGPVAE_model.py:823-936).
 
@@ -118,11 +119,23 @@ def forward_pass_svgpvae(
         aux_data = sprites_aux_data(repr_apply, repr_params, images,
                                     aux_data, frames_per_char).astype(dtype)
 
-    # GP posterior + inside-ELBO, all channels at once
-    p_m, p_v, mu_hat, A_hat = gpm.posterior_params(
-        gp_params, aux_data, aux_data, qnet_mu, qnet_var)
-    sum_terms, kl_terms = gpm.variational_loss(
-        gp_params, aux_data, qnet_mu, qnet_var, mu_hat, A_hat)
+    # GP posterior + inside-ELBO, all channels at once.  gp_block_impl:
+    #   "reference"    two-pass path mirroring the reference call structure
+    #   "fused"        one-pass XLA block (shared factorizations, closed-
+    #                  form KL; gp/fused.py) — same math, fewer kernels
+    #   "fused_pallas" fused block with the Pallas inverse megakernel
+    use_fused = (gp_block_impl != "reference"
+                 and not gp_params.config.titsias and not bias_analysis)
+    if use_fused:
+        p_m, p_v, sum_terms, kl_terms, _ = gpm.gp_block_hensman(
+            gp_params, aux_data, qnet_mu, qnet_var,
+            inverse_impl="pallas" if gp_block_impl == "fused_pallas"
+            else "chol")
+    else:
+        p_m, p_v, mu_hat, A_hat = gpm.posterior_params(
+            gp_params, aux_data, aux_data, qnet_mu, qnet_var)
+        sum_terms, kl_terms = gpm.variational_loss(
+            gp_params, aux_data, qnet_mu, qnet_var, mu_hat, A_hat)
 
     inside_elbo_recon = jnp.sum(sum_terms)
     inside_elbo_kl = jnp.sum(kl_terms)

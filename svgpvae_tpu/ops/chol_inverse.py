@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: batched PSD inverse + logdet in one program.
+
+The round-2 profile (PROFILE_r02.json) showed the SVGPVAE training step's
+GP block — two batched Cholesky factorizations plus ~8 triangular-solve
+chains on (L+1, m, m) matrices with m=32..72 — costs 0.321 ms of a
+0.346 ms forward as ~40 separate small XLA kernels, each paying fixed
+launch latency and HBM round-trips far exceeding its FLOPs.  This kernel
+computes, for a stack of jittered PD matrices M (B, m, m),
+
+    Minv   = M^{-1}          (B, m, m)
+    logdet = log det M       (B,)
+
+in ONE kernel: the whole augmented stack [M | I] lives in VMEM and a
+Gauss-Jordan elimination without pivoting (valid for PD matrices — the
+pivots are the positive Schur-complement diagonals, whose product is
+det M) runs as a fori_loop of row-broadcast updates.  Downstream
+consumers (gp/fused.py) then need only MXU einsums against Minv.
+
+The custom VJP is two batched matmuls — no refactorization, no autodiff
+through Cholesky (whose XLA gradient is itself a chain of solves):
+
+    d(M^{-1}) = -M^{-1} dM M^{-1}   =>  Mbar  = -Minv^T gInv Minv^T
+    d(logdet) = tr(M^{-1} dM)       =>  Mbar += gLogdet * Minv^T
+
+Numerics: GJ without pivoting on a PD matrix is backward-stable in the
+same kappa*eps regime as Cholesky-based inversion (the growth factor is
+bounded for PD); callers must jitter M first exactly as for
+linalg.safe_cholesky.  tests/test_ops.py pins values and gradients
+against float64.
+
+This is the "GP-block megakernel" probe of VERDICT r2 item 3; the
+round-2 sufficient-stats lesson (pad-to-128 waste at m=32 made Pallas
+LOSE at training shapes) applies here too, so gp/fused.py keeps it
+behind `inverse_impl="pallas"` until the head-to-head on-chip bench
+justifies a default.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svgpvae_tpu.linalg import precise as _precise
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def _gj_kernel(aug_ref, inv_ref, ld_ref, *, m: int):
+    """Gauss-Jordan on the augmented stack; aug (B, m, W), W >= 2m padded
+    to lanes.  Writes the full reduced stack to inv_ref (caller slices
+    columns m:2m) and per-batch logdet broadcast across ld_ref lanes."""
+    X = aug_ref[...]
+    B, rows, W = X.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1), 1)
+
+    def body(k, carry):
+        X, ld = carry
+        row_k = jax.lax.dynamic_slice_in_dim(X, k, 1, axis=1)  # (B, 1, W)
+        is_k_lane = lane == k
+        p = jnp.sum(jnp.where(is_k_lane, row_k, 0.0), axis=2,
+                    keepdims=True)                              # (B, 1, 1)
+        row_k = row_k / p
+        col_k = jnp.sum(jnp.where(is_k_lane, X, 0.0), axis=2,
+                        keepdims=True)                          # (B, m, 1)
+        col_k = jnp.where(sub == k, 0.0, col_k)
+        X = X - col_k * row_k
+        X = jnp.where(sub == k, row_k, X)
+        ld = ld + jnp.log(p[:, 0, 0])
+        return X, ld
+
+    X, ld = jax.lax.fori_loop(0, m, body, (X, jnp.zeros((B,), X.dtype)))
+    inv_ref[...] = X
+    ld_ref[...] = jnp.broadcast_to(ld[:, None], ld_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_inverse_pallas(M: Array, interpret: bool = False):
+    """Pallas path: M (B, m, m) jittered PD -> (Minv (B, m, m), logdet (B,)).
+
+    The whole augmented stack must fit VMEM (B * m * pad(2m) * 4 bytes;
+    north-star: 17*32*256*4 = 557 kB)."""
+    B, m, _ = M.shape
+    W = _round_up(2 * m, 128)
+    B_pad = _round_up(B, 8)
+
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), (B, m, m))
+    aug = jnp.concatenate([M, eye], axis=-1)            # (B, m, 2m)
+    aug = jnp.pad(aug, ((0, B_pad - B), (0, 0), (0, W - 2 * m)))
+    if B_pad != B:
+        # padded batches run GJ on [0 | I]-ish junk; make them identity
+        # stacks so no log(<=0) NaNs leak out of the kernel
+        pad_eye = jnp.pad(jnp.eye(m, dtype=M.dtype), ((0, 0), (0, W - m)))
+        aug = aug.at[B:].set(pad_eye[None])
+
+    out, ld = pl.pallas_call(
+        functools.partial(_gj_kernel, m=m),
+        out_shape=(jax.ShapeDtypeStruct((B_pad, m, W), M.dtype),
+                   jax.ShapeDtypeStruct((B_pad, 128), M.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(aug)
+    return out[:B, :, m:2 * m], ld[:B, 0]
+
+
+@_precise
+def chol_inverse_ref(M: Array):
+    """XLA reference path: Cholesky-based explicit inverse + logdet.
+    Same contract as the Pallas kernel (M must already be jittered)."""
+    chol = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+    inv = jax.scipy.linalg.cho_solve((chol, True), eye)
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    return inv, 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def _use_pallas() -> bool:
+    forced = os.environ.get("SVGPVAE_CHOL_INVERSE")
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@jax.custom_vjp
+def chol_inverse(M: Array):
+    """Batched (Minv, logdet) of jittered PD matrices with a two-matmul VJP.
+
+    Dispatches to the Pallas kernel on TPU, the XLA reference elsewhere
+    (override with SVGPVAE_CHOL_INVERSE={pallas,xla}; the Pallas path off
+    TPU runs in interpret mode for tests).
+    """
+    if _use_pallas():
+        return chol_inverse_pallas(M,
+                                   interpret=jax.default_backend() != "tpu")
+    return chol_inverse_ref(M)
+
+
+def _fwd(M):
+    out = chol_inverse(M)
+    return out, out[0]
+
+
+@_precise
+def _bwd(Minv, cotangents):
+    g_inv, g_ld = cotangents
+    # M symmetric PD => Minv^T = Minv
+    mbar = -jnp.einsum("bij,bjk,bkl->bil", Minv, g_inv, Minv)
+    mbar = mbar + g_ld[:, None, None] * Minv
+    return (mbar,)
+
+
+chol_inverse.defvjp(_fwd, _bwd)

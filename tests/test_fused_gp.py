@@ -1,0 +1,221 @@
+"""Fused GP block + chol_inverse kernel parity (VERDICT r2 item 3).
+
+The fused block must reproduce the two-pass reference path
+(posterior_params + hensman_terms) in values AND gradients, and the
+Pallas/GJ inverse must match float64 linear algebra.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svgpvae_tpu import gp as gpm
+from svgpvae_tpu.gp.svgp import SVGPConfig
+from svgpvae_tpu.ops import chol_inverse
+from svgpvae_tpu.ops.chol_inverse import chol_inverse_pallas, chol_inverse_ref
+
+RNG = np.random.RandomState(3)
+
+
+def _psd_batch(B, m, cond=1e4, dtype=np.float32):
+    """Random PD matrices with controlled conditioning."""
+    out = np.empty((B, m, m))
+    for i in range(B):
+        Q, _ = np.linalg.qr(RNG.randn(m, m))
+        lam = np.logspace(0, np.log10(cond), m)
+        out[i] = (Q * lam) @ Q.T
+    return jnp.asarray(out, dtype)
+
+
+def test_chol_inverse_values_vs_float64():
+    M = _psd_batch(17, 32)
+    inv64 = np.linalg.inv(np.asarray(M, np.float64))
+    _, ld64 = np.linalg.slogdet(np.asarray(M, np.float64))
+
+    for impl in (chol_inverse_ref,
+                 lambda x: chol_inverse_pallas(x, interpret=True)):
+        inv, ld = impl(M)
+        scale = np.abs(inv64).max()
+        np.testing.assert_allclose(np.asarray(inv) / scale, inv64 / scale,
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(ld), ld64, rtol=1e-5)
+
+
+def test_chol_inverse_nonsquare_tile_batch():
+    """m=72 (SPRITES: 9 sublane tiles, 2m=144 -> 256 lanes), odd batch."""
+    M = _psd_batch(5, 72, cond=1e3)
+    inv, ld = chol_inverse_pallas(M, interpret=True)
+    inv_r, ld_r = chol_inverse_ref(M)
+    scale = float(jnp.abs(inv_r).max())
+    np.testing.assert_allclose(np.asarray(inv) / scale,
+                               np.asarray(inv_r) / scale, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_r), rtol=1e-4)
+
+
+def test_chol_inverse_custom_vjp_matches_autodiff():
+    """The two-matmul custom VJP == autodiff through the XLA reference.
+
+    Compared through a symmetric constructor M = B B^T + I (how every
+    caller builds its PD matrices): matrix cotangents are only defined up
+    to an asymmetric null component there (Cholesky autodiff symmetrizes
+    its cotangent; the custom VJP does not), so raw dL/dM comparisons are
+    convention-dependent while dL/dB is unique.
+    """
+    B = jnp.asarray(RNG.randn(4, 16, 16), jnp.float32)
+    gi = jnp.asarray(RNG.randn(4, 16, 16), jnp.float32)
+    gl = jnp.asarray(RNG.randn(4), jnp.float32)
+
+    def make_M(B_):
+        return jnp.einsum("bij,bkj->bik", B_, B_) + jnp.eye(16)
+
+    def loss_custom(B_):
+        inv, ld = chol_inverse(make_M(B_))
+        return jnp.sum(inv * gi) + jnp.sum(ld * gl)
+
+    def loss_ref(B_):
+        inv, ld = chol_inverse_ref(make_M(B_))
+        return jnp.sum(inv * gi) + jnp.sum(ld * gl)
+
+    g_custom = jax.grad(loss_custom)(B)
+    g_ref = jax.grad(loss_ref)(B)
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(g_custom) / scale,
+                               np.asarray(g_ref) / scale, atol=2e-4)
+
+
+def _mnist_problem(b=48, L=5, M=4, m=8, n_obj=20):
+    R = np.random.RandomState(7)  # own stream: run-order independent
+    ip = np.hstack([np.arange(m)[:, None], R.rand(m, 1) * 2 * np.pi,
+                    R.randn(m, M)])
+    gp = gpm.init_mnist_svgp(
+        ip, R.randn(n_obj, M),
+        config=SVGPConfig(jitter=1e-6, N_train=16 * b))
+    aux = jnp.asarray(np.hstack([
+        R.randint(0, n_obj, (b, 1)).astype(float),
+        R.rand(b, 1) * 2 * np.pi, R.randn(b, M)]), jnp.float32)
+    y = jnp.asarray(R.randn(b, L), jnp.float32)
+    noise = jnp.asarray(R.rand(b, L) + 0.5, jnp.float32)
+    return gp, aux, y, noise
+
+
+def _sprites_problem(b=40, L=6, m=12, L_act=3, L_char=4, n_act=8):
+    # jitter small: the fused block's closed-form KL identity differs from
+    # the two-pass path by O(jitter/lambda_min(A_hat)) terms (the unfused
+    # KL re-jitters A_hat before factorizing, mirroring the reference;
+    # PARITY.md #10), so parity tightens as jitter -> 0.  Seeded stream
+    # with moderate cond(Kmm) ~1e3; ill-conditioned draws (cond ~1e9)
+    # widen the semantic gap to ~0.2 relative, which is the A_hat-jitter
+    # difference itself, not an error (verified in float64).
+    R = np.random.RandomState(2)
+    gp = gpm.init_sprites_svgp(
+        R.randn(m, L_act + L_char), R.randn(n_act, L_act),
+        L_action=L_act, config=SVGPConfig(jitter=1e-6, N_train=10 * b))
+    aux = jnp.asarray(np.hstack([
+        R.randint(0, n_act, (b, 1)).astype(float),
+        R.randn(b, L_char)]), jnp.float32)
+    y = jnp.asarray(R.randn(b, L), jnp.float32)
+    noise = jnp.asarray(R.rand(b, L) + 0.5, jnp.float32)
+    return gp, aux, y, noise
+
+
+def _reference_block(gp, aux, y, noise):
+    p_m, p_v, mu_hat, A_hat = gpm.posterior_params(gp, aux, aux, y, noise)
+    sum_terms, kl_terms = gpm.variational_loss(gp, aux, y, noise, mu_hat,
+                                               A_hat)
+    return p_m, p_v, sum_terms, kl_terms, mu_hat
+
+
+@pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
+@pytest.mark.parametrize("impl", ["chol", "pallas"])
+def test_fused_block_matches_two_pass(problem, impl, monkeypatch):
+    """p_m/p_v/sum_terms/mu_hat agree to roundoff; kl_terms carries the
+    documented O(jitter) semantic gap (the two-pass KL re-jitters A_hat
+    before factorizing, PARITY.md #10) so it gets a looser band — its
+    roundoff-level correctness is pinned by the float64 self-parity test
+    below."""
+    if impl == "pallas":
+        monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, aux, y, noise = problem()
+    want = _reference_block(gp, aux, y, noise)
+    got = gpm.gp_block_hensman(gp, aux, y, noise, inverse_impl=impl)
+    names = ["p_m", "p_v", "sum_terms", "kl_terms", "mu_hat"]
+    for name, g, w in zip(names, got, want):
+        w = np.asarray(w)
+        scale = max(np.abs(w).max(), 1.0)
+        atol = 5e-3 if name == "kl_terms" else 2e-4
+        np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                   atol=atol, err_msg=name)
+
+
+def test_fused_block_float64_self_parity():
+    """Fused-block f32 vs the same formulas in f64 (the repo's naive-f64
+    parity standard, CLAUDE.md) — tight, no semantic slack."""
+    R = np.random.RandomState(11)
+    b, L, M, m, n_obj = 48, 5, 4, 8, 20
+    ip = np.hstack([np.arange(m)[:, None], R.rand(m, 1) * 2 * np.pi,
+                    R.randn(m, M)])
+    ov = R.randn(n_obj, M)
+    auxn = np.hstack([R.randint(0, n_obj, (b, 1)).astype(float),
+                      R.rand(b, 1) * 2 * np.pi, R.randn(b, M)])
+    yn, nzn = R.randn(b, L), R.rand(b, L) + 0.5
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        outs = {}
+        for dt in (jnp.float32, jnp.float64):
+            gp = gpm.init_mnist_svgp(
+                ip, ov, config=SVGPConfig(jitter=1e-6, N_train=16 * b),
+                dtype=dt)
+            outs[dt] = gpm.gp_block_hensman(
+                gp, jnp.asarray(auxn, dt), jnp.asarray(yn, dt),
+                jnp.asarray(nzn, dt))
+        for name, g32, g64 in zip(["p_m", "p_v", "sum", "kl", "mu_hat"],
+                                  outs[jnp.float32], outs[jnp.float64]):
+            g64 = np.asarray(g64, np.float64)
+            scale = max(np.abs(g64).max(), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(g32, np.float64) / scale, g64 / scale,
+                atol=2e-5, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.parametrize("impl", ["chol", "pallas"])
+def test_fused_block_gradients_match_two_pass(impl, monkeypatch):
+    """Gradients of the inside-ELBO objective w.r.t. ALL GP parameters and
+    the encoder outputs must match the two-pass reference path — this is
+    what training actually consumes."""
+    if impl == "pallas":
+        monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, aux, y, noise = _mnist_problem()
+    b = y.shape[0]
+
+    def objective(pieces):
+        p_m, p_v, sum_terms, kl_terms, _ = pieces
+        # the forward pass's inside-ELBO + a p_m/p_v-dependent piece (the
+        # CE term consumes the posterior)
+        inside = jnp.sum(sum_terms) - (b / gp.config.N_train) * jnp.sum(
+            kl_terms)
+        return inside + jnp.sum(p_m ** 2) + jnp.sum(jnp.log(p_v))
+
+    def loss_ref(gp, y, noise):
+        return objective(_reference_block(gp, aux, y, noise))
+
+    def loss_fused(gp, y, noise):
+        return objective(gpm.gp_block_hensman(gp, aux, y, noise,
+                                              inverse_impl=impl))
+
+    val_r = loss_ref(gp, y, noise)
+    val_f = loss_fused(gp, y, noise)
+    np.testing.assert_allclose(float(val_f), float(val_r), rtol=2e-5)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(gp, y, noise)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(gp, y, noise)
+    leaves_r, _ = jax.tree_util.tree_flatten(g_ref)
+    leaves_f, _ = jax.tree_util.tree_flatten(g_fus)
+    assert len(leaves_r) == len(leaves_f)
+    for lr, lf in zip(leaves_r, leaves_f):
+        lr, lf = np.asarray(lr), np.asarray(lf)
+        scale = max(np.abs(lr).max(), 1e-3)
+        np.testing.assert_allclose(lf / scale, lr / scale, atol=5e-4)
