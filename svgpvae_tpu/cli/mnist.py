@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of one post-warmup "
                         "epoch to this directory (view with xprof)")
+    p.add_argument("--eval_bundle", action="store_true",
+                   help="run each eval pass group (eval recon + test recon "
+                        "+ full-train encode + cgen) as ONE XLA program -- "
+                        "one dispatch/readback instead of ~8; helps on "
+                        "high-latency device links")
     p.add_argument("--gp_block_impl", type=str, default="reference",
                    choices=["reference", "fused", "fused_pallas"],
                    help="GP-block implementation for the Hensman training "
@@ -372,6 +377,39 @@ def run_svgpvae(args) -> dict:
         losses, recons = jax.lax.map(body, stack)
         return jnp.sum(losses), recons.reshape(-1, *recons.shape[2:])
 
+    # --eval_bundle: the WHOLE eval pass group (eval recon + test recon +
+    # full-train encode + cgen, tails included) as ONE program -> one
+    # dispatch + one readback instead of ~8 serial round-trips.  The
+    # middle ground between per-pass programs and the round-2 whole-epoch
+    # fusion (reverted: remote compile cost, commits 3c0d5f6/eb6a6...)
+    # — this bundle only composes already-needed subprograms.
+    @jax.jit
+    def eval_group_svgpvae(params, ev_stack, ev_tail, te_stack, te_tail,
+                           enc_stack, enc_tail, aux_train, key, geco):
+        ev_sum, _ = recon_stack_fn(params, ev_stack, key, geco, False)
+        if ev_tail is not None:
+            ev_sum += _recon_out(params, ev_tail, key, geco,
+                                 False).recon_loss
+        te_sum, recon_imgs = recon_stack_fn(params, te_stack, key, geco,
+                                            False)
+        if te_tail is not None:
+            out = _recon_out(params, te_tail, key, geco, False)
+            te_sum += out.recon_loss
+            recon_imgs = jnp.concatenate([recon_imgs, out.recon_images])
+        means, variances = encode_stack_fn(params, enc_stack)
+        if enc_tail is not None and enc_tail.shape[0]:
+            mt, vt = encode_fn(params, enc_tail)
+            means = jnp.concatenate([means, mt])
+            variances = jnp.concatenate([variances, vt])
+        cg_sum, cg_imgs = cgen_stack_fn(params, te_stack, means, variances,
+                                        aux_train, key)
+        if te_tail is not None:
+            recon, loss = cgen_fn(params, te_tail, means, variances,
+                                  aux_train, key)
+            cg_sum += loss
+            cg_imgs = jnp.concatenate([cg_imgs, recon])
+        return ev_sum, te_sum, recon_imgs, cg_sum, cg_imgs
+
     if is_svgpvae:
         nr_epochs, regime = train.parse_opt_regime(list(args.opt_regime))
     else:
@@ -497,27 +535,45 @@ def run_svgpvae(args) -> dict:
                   f"{np.sum(losses) / N_train:.5f}, "
                   f"epoch time {time.time() - t_epoch:.2f}s")
 
-            # eval-set recon MSE (one lax.map program + one tail call)
-            ev_sum, _ = recon_stack_fn(state.params, eval_stack, eval_key,
-                                       state.geco, use_vae_pass)
-            if eval_tail is not None:
-                out = _recon_out(state.params, eval_tail, eval_key,
-                                 state.geco, use_vae_pass)
-                ev_sum = ev_sum + out.recon_loss
-            print(f"  eval MSE: {float(ev_sum) / N_eval:.5f}")
+            bundled = (args.eval_bundle and is_svgpvae
+                       and not use_vae_pass)
+            if bundled:
+                # ONE program for the whole eval group: single dispatch,
+                # single readback chain (see eval_group_svgpvae)
+                ev_sum, te_sum, recon_imgs, cg_sum, cg_imgs = \
+                    eval_group_svgpvae(
+                        state.params, eval_stack, eval_tail, test_stack,
+                        test_tail, train_enc_stack, train_enc_tail,
+                        aux_train_full, eval_key, state.geco)
+                print(f"  eval MSE: {float(ev_sum) / N_eval:.5f}")
+                test_mse = float(te_sum) / N_test
+                print(f"  test MSE: {test_mse:.5f}")
+                cgen_mse = float(cg_sum) / N_test
+                recon_images_cgen = np.asarray(cg_imgs)
+            else:
+                # eval-set recon MSE (one lax.map program + one tail call)
+                ev_sum, _ = recon_stack_fn(state.params, eval_stack,
+                                           eval_key, state.geco,
+                                           use_vae_pass)
+                if eval_tail is not None:
+                    out = _recon_out(state.params, eval_tail, eval_key,
+                                     state.geco, use_vae_pass)
+                    ev_sum = ev_sum + out.recon_loss
+                print(f"  eval MSE: {float(ev_sum) / N_eval:.5f}")
 
-            # test-set recon MSE + pics
-            te_sum, recon_imgs = recon_stack_fn(state.params, test_stack,
-                                                eval_key, state.geco,
-                                                use_vae_pass)
-            if test_tail is not None:
-                out = _recon_out(state.params, test_tail, eval_key,
-                                 state.geco, use_vae_pass)
-                te_sum = te_sum + out.recon_loss
-                recon_imgs = jnp.concatenate([recon_imgs,
-                                              out.recon_images])
-            test_mse = float(te_sum) / N_test
-            print(f"  test MSE: {test_mse:.5f}")
+                # test-set recon MSE + pics
+                te_sum, recon_imgs = recon_stack_fn(state.params,
+                                                    test_stack, eval_key,
+                                                    state.geco,
+                                                    use_vae_pass)
+                if test_tail is not None:
+                    out = _recon_out(state.params, test_tail, eval_key,
+                                     state.geco, use_vae_pass)
+                    te_sum = te_sum + out.recon_loss
+                    recon_imgs = jnp.concatenate([recon_imgs,
+                                                  out.recon_images])
+                test_mse = float(te_sum) / N_test
+                print(f"  test MSE: {test_mse:.5f}")
             if run_dir:
                 plots.plot_image_grid(
                     test_d["images"], np.asarray(recon_imgs),
@@ -527,7 +583,9 @@ def run_svgpvae(args) -> dict:
 
             # conditional generation (full-train encode + conditioning,
             # all from device-resident arrays)
-            if is_svgpvae:
+            if bundled:
+                pass  # already computed in the bundle
+            elif is_svgpvae:
                 means, variances = encode_stack_fn(state.params,
                                                    train_enc_stack)
                 if train_enc_tail.shape[0]:

@@ -29,11 +29,11 @@ MNIST = "/tmp/mnist_data/"
 SPRITES = "/tmp/sprites_data/"
 
 
-def run(name, cmd, timeout):
+def run(name, cmd, timeout, extra_env=None):
     os.makedirs(LOGDIR, exist_ok=True)
     log = os.path.join(LOGDIR, f"{name}.log")
     print(f":: [{name}] {' '.join(cmd)} (timeout {timeout}s)", flush=True)
-    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    env = dict(os.environ, PYTHONUNBUFFERED="1", **(extra_env or {}))
     t0 = time.time()
     with open(log, "w") as f:
         # graceful on timeout: SIGINT -> grace -> SIGKILL.  A hard kill
@@ -69,14 +69,15 @@ def run(name, cmd, timeout):
     return code
 
 
-def mnist_job(expid, extra, epochs=1000, timeout=1500):
+def mnist_job(expid, extra, epochs=1000, timeout=1500, eval_every=50):
     """North-star Hensman config with overrides (reference README.md:33)."""
     py = sys.executable
     cmd = [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo", "SVGPVAE_Hensman",
            "--GECO", "--PCA", "--ip_joint", "--GP_joint", "--ov_joint",
            "--clip_qs", "--mnist_data_path", MNIST,
-           "--opt_regime", f"joint-{epochs}", "--eval_every", "50",
-           "--base_dir", "/tmp/mnist_tpu", "--expid", expid, *extra]
+           "--opt_regime", f"joint-{epochs}", "--eval_every",
+           str(eval_every), "--base_dir", "/tmp/mnist_tpu",
+           "--expid", expid, *extra]
     return (expid, cmd, timeout)
 
 
@@ -109,11 +110,50 @@ def wave2():
           "--opt_regime", "joint-30", "--eval_every", "5",
           "--nr_epochs_repr_nn", "40", "--base_dir", "/tmp/sprites_tpu"]
     return [
+        # --- VERDICT item 2: SPRITES step profile + bf16 head-to-head ---
         ("sprites_profile",
          [py, os.path.join(ROOT, "tools", "profile_step.py"),
           "--workload", "sprites"], 1800),
         ("sprites_f32", [*sp, "--expid", "r3_f32"], 2400),
         ("sprites_bf16", [*sp, "--bf16", "--expid", "r3_bf16"], 2400),
+        # --- item 1 follow-ups: epochs are the lever (2000ep -> 0.03019
+        # vs 1000ep 0.0332; kappa/lr/lambda-cap all flat-or-worse) ---
+        mnist_job("hensman_3k", [], epochs=3000, timeout=3300),
+        mnist_job("hensman_4k", [], epochs=4000, timeout=4200),
+        mnist_job("hensman_2k_seed1", ["--seed", "1"], epochs=2000,
+                  timeout=2400),
+        mnist_job("hensman_2k_reshuf", ["--reshuffle"], epochs=2000,
+                  timeout=2400),
+        mnist_job("kappa016_2k", ["--kappa_squared", "0.016"], epochs=2000,
+                  timeout=2400),
+        # --- item 4 evidence: multi-digit 13679 at reference scale ---
+        (lambda j: (j[0], j[1] + ["--dataset", "13679",
+                                  "--synthetic_digits"], j[2]))(
+            mnist_job("mnist_13679", [], epochs=200, timeout=2400)),
+    ]
+
+
+def wave3():
+    """GP-block impl head-to-head (VERDICT item 3 measurement) + fused /
+    eval-bundle quality validation runs."""
+    py = sys.executable
+    bench = [py, os.path.join(ROOT, "bench.py")]
+    bo = {"BENCH_ONLY": "mnist_train,sprites_train"}
+    return [
+        ("bench_gp_ref", bench, 1200, bo),
+        ("bench_gp_fused", bench, 1200,
+         {**bo, "BENCH_GP_IMPL": "fused"}),
+        ("bench_gp_pallas", bench, 1200,
+         {**bo, "BENCH_GP_IMPL": "fused_pallas"}),
+        # quality: 300 epochs, eval every 25 — compare to the round-2
+        # baseline trajectory (f32 300ep best cgen 0.0389, RESULTS.md)
+        mnist_job("fused_300", ["--gp_block_impl", "fused"], epochs=300,
+                  timeout=1500, eval_every=25) + ({},),
+        mnist_job("pallas_300", ["--gp_block_impl", "fused_pallas"],
+                  epochs=300, timeout=1500, eval_every=25) + ({},),
+        # wall-clock of the bundled eval group (VERDICT weak #4)
+        mnist_job("evalbundle_1k", ["--eval_bundle"], epochs=1000,
+                  timeout=1800) + ({},),
     ]
 
 
@@ -124,13 +164,15 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
-    for name, cmd, timeout in jobs:
+    for job in jobs:
+        name, cmd, timeout = job[:3]
+        extra_env = job[3] if len(job) > 3 else None
         if (only and name not in only) or name in skip:
             continue
-        run(name, cmd, timeout)
+        run(name, cmd, timeout, extra_env)
 
 
 if __name__ == "__main__":
