@@ -229,20 +229,27 @@ class SpritesVAE(nn.Module):
     """Conv VAE for 64x64x3 SPRITES frames (reference: spritesVAE,
     VAE_utils.py:275-360): encoder 6x Conv(16, 3, SAME, elu) with strides
     1/2/1/2/1/2 -> Dense(2L); decoder Dense(1024) -> (8,8,16) ->
-    3x [up2 + 2x Conv(16, 3, SAME, elu)] -> Conv(3, 3, SAME, elu)."""
+    3x [up2 + 2x Conv(16, 3, SAME, elu)] -> Conv(3, 3, SAME, elu).
+
+    `filters` keeps the reference's 16 by default; 16 channels fill only
+    16 of the MXU's 128 lanes, so wider variants exist as a measured perf
+    axis for custom models (tools/profile_step.py --workload sprites
+    probes filters=128 head-to-head)."""
 
     L: int = 64
     dtype: jnp.dtype = jnp.float32
+    filters: int = 16
 
     def setup(self):
+        f = self.filters
         self.enc_convs = [
-            nn.Conv(16, (3, 3), strides=(s, s), padding="SAME",
+            nn.Conv(f, (3, 3), strides=(s, s), padding="SAME",
                     dtype=self.dtype, name=f"enc_conv{i}")
             for i, s in enumerate((1, 2, 1, 2, 1, 2))]
         self.enc_out = nn.Dense(2 * self.L, dtype=self.dtype)
-        self.dec_in = nn.Dense(1024, dtype=self.dtype)
+        self.dec_in = nn.Dense(64 * f, dtype=self.dtype)
         self.dec_convs = [
-            nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype,
+            nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
                     name=f"dec_conv{i}") for i in range(6)]
         self.dec_out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)
 
@@ -256,7 +263,7 @@ class SpritesVAE(nn.Module):
 
     def decode(self, latents: Array) -> Array:
         h = self.dec_in(latents.astype(self.dtype))
-        h = h.reshape(h.shape[0], 8, 8, 16)
+        h = h.reshape(h.shape[0], 8, 8, self.filters)
         for i in range(3):
             h = upsample2x(h)
             h = nn.elu(self.dec_convs[2 * i](h))

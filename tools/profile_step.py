@@ -332,15 +332,6 @@ def sprites_workload(base_reps):
          ("full_step", make_full_step(loss_fn, params))),
         base_reps)
 
-    # bfloat16 conv nets, same params (flax param_dtype stays float32)
-    _, _, params16, loss16 = build(jnp.bfloat16)
-    params16 = {**params16, "vae": params["vae"], "repr": params["repr"]}
-    ms16 = scan_time(make_full_step(loss16, params16),
-                     reps=max(base_reps // 2, 10))
-    comps["full_step_bf16"] = {"ms": round(ms16, 4)}
-    comps["bf16_step_speedup"] = round(comps["full_step"]["ms"] / ms16, 3)
-    print(f"# full_step_bf16: {ms16:.4f} ms", file=sys.stderr, flush=True)
-
     comps["repr_fwd"]["flops"] = flops_of(
         lambda x: repr_net.apply(params["repr"], x), frames)
     comps["encoder_fwd"]["flops"] = flops_of(
@@ -352,6 +343,58 @@ def sprites_workload(base_reps):
         lambda x: loss_fn(params, x, key, jnp.float32(0.0),
                           jnp.float32(1.0)), frames)
     derive_shares(comps)
+
+    # bfloat16 conv nets, same params (flax param_dtype stays float32)
+    _, _, params16, loss16 = build(jnp.bfloat16)
+    params16 = {**params16, "vae": params["vae"], "repr": params["repr"]}
+    ms16 = scan_time(make_full_step(loss16, params16),
+                     reps=max(base_reps // 2, 10))
+    comps["full_step_bf16"] = {"ms": round(ms16, 4)}
+    comps["bf16_step_speedup"] = round(comps["full_step"]["ms"] / ms16, 3)
+    print(f"# full_step_bf16: {ms16:.4f} ms", file=sys.stderr, flush=True)
+
+    # channel-width probe (VERDICT r2 item 2): the reference's 16-filter
+    # convs fill 16/128 MXU lanes; a 128-filter variant does ~35x the
+    # conv FLOPs — if its step time is far below 35x, channel width is
+    # the limiter and wide custom models ride nearly free
+    wide = nets.SpritesVAE(L=L, filters=128)
+    wide_params = {"vae": wide.init(key, jnp.zeros((2, 64, 64, 3))),
+                   "repr": params["repr"], "gp": gp}
+    kappa = float(np.sqrt(0.0075))
+
+    def loss_wide(params, frames_, key, C_ma, lam):
+        out = models.forward_pass_svgpvae(
+            wide, params["vae"], params["gp"], (frames_, action_ids),
+            key, beta=0.001, C_ma=C_ma, lagrange_mult=lam, alpha=0.99,
+            kappa=kappa, clip_qs=True, geco=True,
+            repr_apply=repr_net.apply, repr_params=params["repr"],
+            frames_per_char=fpc)
+        return out.elbo
+
+    tx_w = train.make_optimizer(1e-3)
+    opt_w = tx_w.init(wide_params)
+
+    def full_step_wide(c):
+        val, grads = jax.value_and_grad(loss_wide)(
+            wide_params, frames + c * 1e-30, key, jnp.float32(0.0),
+            jnp.float32(1.0))
+        updates, _ = tx_w.update(grads, opt_w, wide_params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, wide_params,
+                                     updates)
+        return (val + sum(jnp.sum(x) for x in
+                          jax.tree_util.tree_leaves(new))) * 1e-30
+
+    msw = scan_time(full_step_wide, reps=max(base_reps // 4, 5))
+    flops_w = flops_of(
+        lambda x: loss_wide(wide_params, x, key, jnp.float32(0.0),
+                            jnp.float32(1.0)), frames)
+    comps["full_step_wide128"] = {
+        "ms": round(msw, 4), "fwd_flops": flops_w,
+        "flops_ratio_vs_16": round(flops_w / comps["loss_fwd"]["flops"], 1)
+        if flops_w and comps["loss_fwd"].get("flops") else None,
+        "time_ratio_vs_16": round(msw / comps["full_step"]["ms"], 2)}
+    print(f"# full_step_wide128: {msw:.4f} ms", file=sys.stderr,
+          flush=True)
 
     return {"config": f"b={b}, 64x64x3, L={L}, m={m}, L_action={L_act}, "
                       f"L_character={L_char} (reference scale)",

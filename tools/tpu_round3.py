@@ -154,7 +154,25 @@ def wave3():
         # wall-clock of the bundled eval group (VERDICT weak #4)
         mnist_job("evalbundle_1k", ["--eval_bundle"], epochs=1000,
                   timeout=1800) + ({},),
+        # SPRITES f32 vs bf16 at FULL reference scale (the wave-2 pair
+        # accidentally ran on a 600-frame leftover corpus; the 50k-frame
+        # round-2 corpus lives at /tmp/sprites_full)
+        ("sprites_full_f32", _sprites_full_cmd("r3full_f32", []), 2400,
+         {}),
+        ("sprites_full_bf16", _sprites_full_cmd("r3full_bf16", ["--bf16"]),
+         2400, {}),
     ]
+
+
+def _sprites_full_cmd(expid, extra):
+    py = sys.executable
+    return [py, "-m", "svgpvae_tpu.cli.sprites", "--elbo",
+            "SVGPVAE_Hensman", "--GECO", "--clip_qs", "--synthetic",
+            "--sprites_data_path", "/tmp/sprites_full/", "--ip_joint",
+            "--GPLVM_joint", "--PCA", "--object_kernel_normalize",
+            "--clip_grad", "--opt_regime", "joint-30", "--eval_every", "5",
+            "--nr_epochs_repr_nn", "40", "--base_dir", "/tmp/sprites_tpu",
+            "--expid", expid, *extra]
 
 
 def main():
