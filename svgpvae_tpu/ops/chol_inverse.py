@@ -64,7 +64,11 @@ def _gj_kernel(aug_ref, inv_ref, ld_ref, *, m: int):
 
     def body(k, carry):
         X, ld = carry
-        row_k = jax.lax.dynamic_slice_in_dim(X, k, 1, axis=1)  # (B, 1, W)
+        # row k via a masked sublane reduction: Mosaic has no dynamic_slice
+        # with a traced index (NotImplementedError on TPU lowering; the
+        # interpret path accepts it, so don't reintroduce it)
+        row_k = jnp.sum(jnp.where(sub == k, X, 0.0), axis=1,
+                        keepdims=True)                          # (B, 1, W)
         is_k_lane = lane == k
         p = jnp.sum(jnp.where(is_k_lane, row_k, 0.0), axis=2,
                     keepdims=True)                              # (B, 1, 1)
