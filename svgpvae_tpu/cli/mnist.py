@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of one post-warmup "
                         "epoch to this directory (view with xprof)")
+    p.add_argument("--epoch_chunk", type=int, default=1,
+                   help="run this many whole epochs (incl. tail steps) as "
+                        "one scan program; removes per-epoch dispatch/"
+                        "readback round-trips on high-latency device "
+                        "links.  Must divide --eval_every and the epoch "
+                        "count; single non-VAE regime only")
     p.add_argument("--eval_bundle", action="store_true",
                    help="run each eval pass group (eval recon + test recon "
                         "+ full-train encode + cgen) as ONE XLA program -- "
@@ -474,9 +480,35 @@ def run_svgpvae(args) -> dict:
     t_start = time.time()
     steps_done = start_steps = int(state.step)  # nonzero on resume
     recon_images_cgen = None
+    # --epoch_chunk: run `chunk` whole epochs (incl. tail steps) as ONE
+    # scan-of-scans program.  On a high-latency link the per-epoch
+    # dispatch+readback dominates long runs; chunking by eval_every
+    # removes ~chunk x of them.  Requires a single non-VAE regime and
+    # cadences that align with chunk boundaries so every eval/saver row
+    # still sees the exact post-epoch state it would have seen unchunked.
+    chunk = max(1, args.epoch_chunk)
+    chunk_ok = (chunk > 1 and is_svgpvae and not args.bias_analysis
+                and not args.profile_dir
+                and args.eval_every % chunk == 0
+                and nr_epochs % chunk == 0
+                and all(r != "VAE" for r in regime))
+    if args.epoch_chunk > 1 and not chunk_ok:
+        print("warning: --epoch_chunk needs a single non-VAE regime, "
+              "chunk | eval_every and | nr_epochs, and no "
+              "--bias_analysis/--profile_dir; running unchunked")
+        chunk = 1
+    multi_epoch_svgpvae = (
+        train.make_multi_epoch_fn(loss_svgpvae, tx, donate=True,
+                                  shuffle=args.reshuffle)
+        if chunk_ok and chunk > 1 else None)
+    chunk_buf = None
+    tail_inc = 1 if tail_batch is not None else 0
+
     # per-epoch wall time as a first-class metric (SURVEY §5.1); epoch 0
     # is excluded (compile), and each timed block materializes its metrics
-    timer = utils.StepTimer(steps_per_block=n_full)
+    timer = utils.StepTimer(
+        steps_per_block=(chunk * (n_full + tail_inc))
+        if multi_epoch_svgpvae else n_full)
     traced_any = False
 
     for epoch in range(nr_epochs):
@@ -494,6 +526,17 @@ def run_svgpvae(args) -> dict:
                 elbos.append(float(m["elbo"]))
                 losses.append(float(m["recon"]))
                 steps_done += 1
+        elif multi_epoch_svgpvae is not None:
+            if epoch % chunk == 0:
+                with (timer if epoch > 0 else contextlib.nullcontext()):
+                    state, msc = multi_epoch_svgpvae(state, full_batches,
+                                                     tail_batch, chunk)
+                    chunk_buf = {k: np.asarray(msc[k])
+                                 for k in ("elbo", "recon")}
+            i = epoch % chunk
+            elbos = list(chunk_buf["elbo"][i])
+            losses = list(chunk_buf["recon"][i])
+            steps_done += n_full + tail_inc
         else:
             epoch_fn = epoch_vae if use_vae_pass else epoch_svgpvae
             # exclude compiles from the timer: epoch 0, and the first

@@ -4,6 +4,7 @@ from svgpvae_tpu.train.trainer import (  # noqa: F401
     make_optimizer,
     make_train_step,
     make_epoch_fn,
+    make_multi_epoch_fn,
     make_generative_chunk_fn,
     stack_batches,
     parse_opt_regime,

@@ -169,6 +169,66 @@ def make_epoch_fn(loss_fn, tx, donate: bool = True, shuffle: bool = False,
     return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_epoch_fn(loss_fn, tx, donate: bool = True,
+                        shuffle: bool = False, shuffle_block: int = 1):
+    """Jitted MULTI-epoch runner: `n_epochs` whole epochs — including the
+    tail remainder batch — as ONE `lax.scan`-of-`lax.scan` program.
+
+    On a high-latency device link the per-epoch dispatch + metric
+    readback dominates long runs (the tunneled 1000-epoch north-star
+    spends ~265 s of its 274 s wall on ~1000 epoch-program round-trips
+    while device compute is 8.5 s); running `eval_every` epochs per
+    dispatch removes that in proportion.  Local-hardware runs are
+    indifferent (per-dispatch cost ~50 us).
+
+    `tail_batch` (or None) keeps exact epoch semantics: each inner epoch
+    scans the full batches then runs the tail step, exactly like the
+    driver's per-epoch loop.  Metrics come back stacked
+    (n_epochs, n_batches [+1 with tail]).
+
+    Returns fn(state, batches, tail_batch, n_epochs) with n_epochs
+    static.
+    """
+
+    def step_fn(state: TrainState, batch):
+        key, subkey = jax.random.split(state.key)
+        (loss, (geco, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, subkey, state.geco,
+                                   state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, geco=geco, key=key)
+        return new_state, dict(metrics, loss=loss)
+
+    def multi_fn(state: TrainState, batches, tail_batch, n_epochs: int):
+        def epoch_body(st, _):
+            if shuffle:
+                key, pkey = jax.random.split(st.key)
+                st = st.replace(key=key)
+                nb, bs = jax.tree_util.tree_leaves(batches)[0].shape[:2]
+                n_blocks = (nb * bs) // shuffle_block
+                perm = jax.random.permutation(pkey, n_blocks)
+                shuffled = jax.tree_util.tree_map(
+                    lambda a: a.reshape(n_blocks, shuffle_block,
+                                        *a.shape[2:])
+                               [perm].reshape(nb, bs, *a.shape[2:]),
+                    batches)
+            else:
+                shuffled = batches
+            st, ms = jax.lax.scan(step_fn, st, shuffled)
+            if tail_batch is not None:
+                st, m_tail = step_fn(st, tail_batch)
+                ms = jax.tree_util.tree_map(
+                    lambda a, t: jnp.concatenate([a, t[None]]), ms, m_tail)
+            return st, ms
+
+        return jax.lax.scan(epoch_body, state, None, length=n_epochs)
+
+    return jax.jit(multi_fn, static_argnums=(3,),
+                   donate_argnums=(0,) if donate else ())
+
+
 def make_generative_chunk_fn(loss_fn, tx, sample_fn, chunk: int,
                              donate: bool = True):
     """Jitted multi-step runner for experiments whose training data is

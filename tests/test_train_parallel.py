@@ -309,3 +309,37 @@ def test_epoch_reshuffle_block_keeps_groups_contiguous():
     np.testing.assert_array_equal(blocks - blocks[:, :1],
                                   np.tile(np.arange(4), (6, 1)))
     assert not np.array_equal(o1, np.arange(24))
+
+
+def test_multi_epoch_fn_matches_sequential_epochs():
+    """--epoch_chunk: N epochs (incl. tail steps) as one program must
+    reproduce the per-epoch loop's loss trajectory and final state."""
+    vae, params, batch, loss_fn = _tiny_svgpvae(b=16)
+    images, aux = batch
+    batches = (jnp.stack([images, images[::-1]]),
+               jnp.stack([aux, aux[::-1]]))
+    tail = (images[:5], aux[:5])
+    tx = train.make_optimizer(1e-3)
+    step_fn = train.make_train_step(loss_fn, tx, donate=False)
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=False)
+
+    state = train.TrainState.create(params, tx, KEY)
+    ref_losses = []
+    for _ in range(2):
+        state, ms = epoch_fn(state, batches)
+        ref_losses.extend(np.asarray(ms["loss"]))
+        state, m = step_fn(state, tail)
+        ref_losses.append(float(m["loss"]))
+
+    multi = train.make_multi_epoch_fn(loss_fn, tx, donate=False)
+    state_m = train.TrainState.create(params, tx, KEY)
+    state_m, ms = multi(state_m, batches, tail, 2)
+    np.testing.assert_allclose(np.asarray(ms["loss"]).reshape(-1),
+                               ref_losses, rtol=2e-4)
+    assert int(state_m.step) == int(state.step) == 6
+    for a, b_ in zip(jax.tree_util.tree_leaves(state.params),
+                     jax.tree_util.tree_leaves(state_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5)
+    np.testing.assert_allclose(float(state_m.geco.C_ma),
+                               float(state.geco.C_ma), rtol=2e-4)

@@ -140,6 +140,9 @@ def wave3():
     bench = [py, os.path.join(ROOT, "bench.py")]
     bo = {"BENCH_ONLY": "mnist_train,sprites_train"}
     return [
+        ("sprites_profile2",  # re-run with the filters=128 MXU-width probe
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "sprites"], 1800, {}),
         ("bench_gp_ref", bench, 1200, bo),
         ("bench_gp_fused", bench, 1200,
          {**bo, "BENCH_GP_IMPL": "fused"}),
@@ -154,6 +157,11 @@ def wave3():
         # wall-clock of the bundled eval group (VERDICT weak #4)
         mnist_job("evalbundle_1k", ["--eval_bundle"], epochs=1000,
                   timeout=1800) + ({},),
+        # best-config long run: kappa^2=0.016 beat 0.020 at 2000 ep
+        # (0.02980 vs 0.03019) and 4000 ep was still improving at 0.020
+        # (0.02856) — combine both
+        mnist_job("kappa016_4k", ["--kappa_squared", "0.016"],
+                  epochs=4000, timeout=4200) + ({},),
         # SPRITES f32 vs bf16 at FULL reference scale (the wave-2 pair
         # accidentally ran on a 600-frame leftover corpus; the 50k-frame
         # round-2 corpus lives at /tmp/sprites_full)
@@ -175,6 +183,41 @@ def _sprites_full_cmd(expid, extra):
             "--expid", expid, *extra]
 
 
+def wave4():
+    """Retry the Pallas GP bench with the fixed (no-dynamic_slice) kernel
+    + long-horizon fused-impl quality for the default-flip decision."""
+    py = sys.executable
+    bench = [py, os.path.join(ROOT, "bench.py")]
+    bo = {"BENCH_ONLY": "mnist_train,sprites_train"}
+    micro = ("pallas_micro", [py, "-c", (
+        "import numpy as np, jax.numpy as jnp\n"
+        "from svgpvae_tpu.ops.chol_inverse import chol_inverse_pallas,"
+        " chol_inverse_ref\n"
+        "R = np.random.RandomState(0)\n"
+        "A = R.randn(17, 32, 32); M = jnp.asarray(A @ A.transpose(0, 2, 1)"
+        " + 32 * np.eye(32), jnp.float32)\n"
+        "inv, ld = chol_inverse_pallas(M)\n"
+        "inv_r, ld_r = chol_inverse_ref(M)\n"
+        "print('maxdiff inv', float(jnp.abs(inv - inv_r).max()),"
+        " 'ld', float(jnp.abs(ld - ld_r).max()))\n")], 900, {})
+    return [
+        micro,
+        ("bench_gp_pallas2", bench, 1500,
+         {**bo, "BENCH_GP_IMPL": "fused_pallas"}),
+        mnist_job("pallas_300_b", ["--gp_block_impl", "fused_pallas"],
+                  epochs=300, timeout=1500, eval_every=25) + ({},),
+        mnist_job("fused_2k", ["--gp_block_impl", "fused"], epochs=2000,
+                  timeout=2400) + ({},),
+        # wall-clock of multi-epoch chunking: 1000 epochs in 20 programs
+        mnist_job("chunk50_1k", ["--epoch_chunk", "50"], epochs=1000,
+                  timeout=1800) + ({},),
+        # chunking + fused GP + bundled eval: the full latency-lever stack
+        mnist_job("allfast_1k", ["--epoch_chunk", "50", "--gp_block_impl",
+                                 "fused", "--eval_bundle"], epochs=1000,
+                  timeout=1800) + ({},),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -182,7 +225,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
