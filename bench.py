@@ -678,7 +678,10 @@ def bench_batch_scaling(peak):
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
-    _watchdog(2400 if scaling else 1140)
+    # generous: the tunnel shows slow phases where one workload's remote
+    # compile+run stretches to ~1000 s (wave-3 logs); a stale-marked
+    # result is still worse than a late one
+    _watchdog(3000 if scaling else 2100)
     # import the package BEFORE jax so an explicit JAX_PLATFORMS=cpu is
     # honored (svgpvae_tpu.__init__ re-asserts it over the axon tunnel's
     # sitecustomize hook).  Without the env var, bench runs on the chip

@@ -215,6 +215,10 @@ def wave4():
         mnist_job("allfast_1k", ["--epoch_chunk", "50", "--gp_block_impl",
                                  "fused", "--eval_bundle"], epochs=1000,
                   timeout=1800) + ({},),
+        # full suite incl. the new eval lines (validates the end-of-round
+        # bench wall against its watchdog)
+        ("bench_full", [sys.executable, os.path.join(ROOT, "bench.py")],
+         2400, {}),
     ]
 
 
