@@ -222,6 +222,26 @@ def wave4():
     ]
 
 
+def wave5():
+    """Resume of wave 4 after the session cut out mid-fused_2k, plus a
+    pallas_2k long-horizon run for the default-impl decision."""
+    return [
+        mnist_job("fused_2k", ["--gp_block_impl", "fused"], epochs=2000,
+                  timeout=2400) + ({},),
+        mnist_job("pallas_2k", ["--gp_block_impl", "fused_pallas"],
+                  epochs=2000, timeout=2400) + ({},),
+        # wall-clock of multi-epoch chunking: 1000 epochs in 20 programs
+        mnist_job("chunk50_1k", ["--epoch_chunk", "50"], epochs=1000,
+                  timeout=1800) + ({},),
+        # chunking + fastest GP impl + bundled eval: the full stack
+        mnist_job("allfast_1k", ["--epoch_chunk", "50", "--gp_block_impl",
+                                 "fused_pallas", "--eval_bundle"],
+                  epochs=1000, timeout=1800) + ({},),
+        ("bench_full", [sys.executable, os.path.join(ROOT, "bench.py")],
+         2400, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -229,7 +249,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
