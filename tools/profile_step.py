@@ -130,11 +130,12 @@ def mnist_workload(base_reps):
     params = {"vae": vae_params, "gp": gp}
     kappa = float(np.sqrt(0.02))
 
-    def loss_fn(params, images_, key, C_ma, lam):
+    def loss_fn(params, images_, key, C_ma, lam, gp_block_impl="reference"):
         out = models.forward_pass_svgpvae(
             vae, params["vae"], params["gp"], (images_, aux), key,
             beta=0.001, C_ma=C_ma, lagrange_mult=lam, alpha=0.99,
-            kappa=kappa, clip_qs=True, geco=True)
+            kappa=kappa, clip_qs=True, geco=True,
+            gp_block_impl=gp_block_impl)
         return out.elbo
 
     tx = train.make_optimizer(1e-3)
@@ -179,11 +180,31 @@ def mnist_workload(base_reps):
         return (val + sum(jnp.sum(x) for x in
                           jax.tree_util.tree_leaves(new))) * 1e-30
 
-    comps = time_components(
-        (("encoder_fwd", enc_body), ("decoder_fwd", dec_body),
-         ("gp_fwd", gp_body), ("loss_fwd", fwd_body),
-         ("loss_fwd_bwd", fwd_bwd_body), ("full_step", full_step_body)),
-        base_reps)
+    # full step with the round-3 fused GP blocks (PARITY #10): the same
+    # trained step, GP posterior+ELBO computed one-pass with shared
+    # factorizations (fused) / the Pallas inverse megakernel (fused_pallas)
+    def full_step_impl_body(c, impl):
+        val, grads = jax.value_and_grad(loss_fn)(
+            params, images + c * 1e-30, key, jnp.float32(0.0),
+            jnp.float32(1.0), gp_block_impl=impl)
+        updates, _ = tx.update(grads, opt_state, params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return (val + sum(jnp.sum(x) for x in
+                          jax.tree_util.tree_leaves(new))) * 1e-30
+
+    named = [("encoder_fwd", enc_body), ("decoder_fwd", dec_body),
+             ("gp_fwd", gp_body), ("loss_fwd", fwd_body),
+             ("loss_fwd_bwd", fwd_bwd_body), ("full_step", full_step_body),
+             ("full_step_fused",
+              lambda c: full_step_impl_body(c, "fused"))]
+    if jax.default_backend() == "tpu":
+        named.append(("full_step_fused_pallas",
+                      lambda c: full_step_impl_body(c, "fused_pallas")))
+    comps = time_components(tuple(named), base_reps)
+    for k in ("full_step_fused", "full_step_fused_pallas"):
+        if k in comps:
+            comps[k]["speedup_vs_reference"] = round(
+                comps["full_step"]["ms"] / comps[k]["ms"], 3)
 
     comps["encoder_fwd"]["flops"] = flops_of(
         lambda x: vae.apply(vae_params, x, method=vae.encode), images)

@@ -237,6 +237,11 @@ def wave5():
         mnist_job("allfast_1k", ["--epoch_chunk", "50", "--gp_block_impl",
                                  "fused_pallas", "--eval_bundle"],
                   epochs=1000, timeout=1800) + ({},),
+        # on-chip MNIST component profile incl. the fused/fused_pallas
+        # full-step rows (replaces the CPU-measured PROFILE_r03_mnist.json)
+        ("profile_mnist", [sys.executable,
+                           os.path.join(ROOT, "tools", "profile_step.py"),
+                           "--workload", "mnist"], 1800, {}),
         ("bench_full", [sys.executable, os.path.join(ROOT, "bench.py")],
          2400, {}),
     ]
