@@ -569,7 +569,7 @@ def bench_ball(peak):
     def loss_fn(params, vids, key, geco, step):
         out = models.ball_svgpvae_elbo(
             encoder, params["enc"], decoder, params["dec"], params["gp"],
-            vids, 1.0, key, clip_qs=False)
+            vids, 1.0, key, clip_qs=False, gp_block_impl=GP_IMPL)
         return -jnp.mean(out.elbo), (geco, {"elbo": jnp.mean(out.elbo)})
 
     video_fn = data.make_video_batch_fn(tmax=tmax, px=px, py=py_, lt=2.0,

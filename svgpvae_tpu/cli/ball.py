@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ip_min", type=float, default=1.0)
     p.add_argument("--ip_max", type=float, default=30.0)
     p.add_argument("--jitter", type=float, default=1e-9)
+    p.add_argument("--gp_block_impl", type=str, default="reference",
+                   choices=["reference", "fused", "fused_pallas"],
+                   help="Hensman GP block: two-pass reference path, fused "
+                        "one-pass (gp/fused.py ball_gp_block), or fused + "
+                        "Pallas inverse megakernel")
     p.add_argument("--clip_grad", action="store_true")
     p.add_argument("--vidlt", type=float, default=2.0)
     p.add_argument("--GP_init", type=float, default=2.0)
@@ -140,7 +145,8 @@ def run_experiment(args) -> dict:
         if is_svgpvae:
             return models.ball_svgpvae_elbo(
                 encoder, params["enc"], decoder, params["dec"],
-                params["gp"], vids, beta, key, clip_qs=args.clip_qs)
+                params["gp"], vids, beta, key, clip_qs=args.clip_qs,
+                gp_block_impl=args.gp_block_impl)
         return models.pearce_elbo(
             encoder, params["enc"], decoder, params["dec"], vids, beta, key,
             model_lt, elbo_type=args.elbo)

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from svgpvae_tpu import linalg
+from svgpvae_tpu import kernels, linalg
 from svgpvae_tpu.ops.gp_stats import gp_stats
 
 
@@ -137,3 +137,124 @@ def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
 
     mu_hat = scale * jnp.einsum("mp,lp->lm", Kmm, sir)    # (L, m)
     return p_m, p_v, sum_terms, kl_terms, mu_hat
+
+
+@linalg.precise
+def ball_gp_block(gp, times: Array, y: Array, noise: Array,
+                  inverse_impl: str = "chol"):
+    """Fused moving-ball GP block: posterior + inside-ELBO in one pass.
+
+    Same dedup as `gp_block_hensman` applied to the per-video SVGP
+    (reference: SVGP.approximate_posterior_params /
+    SVGP.variational_loss, SVGPVAE_model.py:62-171): the posterior is
+    evaluated AT the video's own time grid, so the loss's mean vector
+    W^T mu_hat == Knm sir == p_m, w^T A_hat w == sig_quad, and the KL
+    closes over the Sigma factorization (logdet A_hat = 2 logdet Kmm -
+    logdet Sigma).  One batched factorization of the (C*(V+1), m, m)
+    stack [Kmm_c; Sigma_c1..cV] replaces the unfused path's four
+    Cholesky chains (Kmm, Sigma, A_hat, and the full-covariance solves).
+
+    The per-video full posterior covariance B_v (T, T) is never consumed
+    elementwise by training — only its diagonal (sampling/CE) and its
+    batch mean (the gp_cov diagnostic, reference :689-690) are — and the
+    mean commutes with the only video-dependent factor:
+        mean_v B_v = Knn - Knm Kmm^{-1} Kmn + Knm (mean_v Sigma_v^{-1}) Kmn
+    so the fused block materializes (C, T, T) once instead of
+    (C, V, T, T).
+
+    times: (T,); y/noise: (V, T, C).  Returns (p_m (V, T, C),
+    p_v (V, T, C) posterior marginal variances, sum_terms (V, C),
+    kl_terms (V, C), gp_cov_mean (T, T, C)) — `kl_terms` honors
+    config.ball_kl_quirk (PARITY: the reference's A_hat-quadratic KL,
+    SVGPVAE_model.py:134-137).  Equivalence with the two-pass path is
+    pinned (values and gradients) by tests/test_fused_gp.py.
+    """
+    cfg = gp.config
+    V, T, C = y.shape
+    dtype = y.dtype
+    m = gp.inducing_points.shape[-1]
+
+    def channel_mats(ip, ls):
+        k = lambda a, b: kernels.rbf_matrix(a[:, None], b[:, None], ls)
+        return k(ip, ip), k(times, ip), k(times, times)
+
+    Kmm, Knm, Knn = jax.vmap(channel_mats)(gp.inducing_points,
+                                           gp.length_scale)
+    # Kmm (C, m, m), Knm (C, T, m), Knn (C, T, T)
+
+    yc = jnp.moveaxis(y, -1, 0)                           # (C, V, T)
+    nc = jnp.moveaxis(noise, -1, 0)
+    prec = linalg.reciprocal_no_nan(nc)
+
+    Sigma = Kmm[:, None] + jnp.einsum("ctm,cvt,ctp->cvmp",
+                                      Knm, prec, Knm)     # (C, V, m, m)
+    r = jnp.einsum("ctm,cvt->cvm", Knm, prec * yc)        # (C, V, m)
+
+    # jitter exactly as the unfused path: absolute cfg.jitter on both
+    # (gp/svgp.py ball_posterior_params — no relative Sigma ridge here)
+    M = jnp.concatenate([
+        linalg.add_jitter(Kmm, cfg.jitter)[:, None],
+        linalg.add_jitter(Sigma, cfg.jitter)], axis=1)    # (C, V+1, m, m)
+    flat = M.reshape(C * (V + 1), m, m)
+
+    KnmT = jnp.swapaxes(Knm, -1, -2)                      # (C, m, T)
+    if inverse_impl == "pallas":
+        from svgpvae_tpu.ops.chol_inverse import chol_inverse
+        Minv, lds = chol_inverse(flat)
+        Minv = Minv.reshape(C, V + 1, m, m)
+        lds = lds.reshape(C, V + 1)
+        Kmm_inv, Sigma_inv = Minv[:, 0], Minv[:, 1:]
+        logdet_K, logdet_S = lds[:, 0], lds[:, 1:]
+        sir = jnp.einsum("cvmp,cvp->cvm", Sigma_inv, r)
+        W_ny = Kmm_inv @ KnmT                             # (C, m, T)
+        SigInv_Kmn = jnp.einsum("cvmp,ctp->cvmt", Sigma_inv, Knm)
+        E = jnp.einsum("cvmp,cpq->cvmq", Sigma_inv,
+                       Kmm)                               # Sigma^{-1} Kmm
+    else:
+        chol = jnp.linalg.cholesky(flat).reshape(C, V + 1, m, m)
+        Kmm_chol, Sigma_chol = chol[:, 0], chol[:, 1:]
+        logdet_K = linalg.logdet_from_chol(Kmm_chol)      # (C,)
+        logdet_S = linalg.logdet_from_chol(Sigma_chol)    # (C, V)
+        sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]
+        W_ny = linalg.cho_solve(Kmm_chol, KnmT)
+        SigInv_Kmn = linalg.cho_solve(
+            Sigma_chol, jnp.broadcast_to(KnmT[:, None], (C, V, m, T)))
+        E = linalg.cho_solve(
+            Sigma_chol, jnp.broadcast_to(Kmm[:, None], Sigma.shape))
+
+    tr_SiK = jnp.trace(E, axis1=-2, axis2=-1)             # (C, V)
+
+    p_m = jnp.einsum("ctm,cvm->cvt", Knm, sir)            # (C, V, T)
+    nystrom = jnp.einsum("ctm,cmt->ct", Knm, W_ny)        # (C, T)
+    sig_quad = jnp.einsum("ctm,cvmt->cvt", Knm, SigInv_Kmn)
+    k_tilde = 1.0 - nystrom  # RBF(amplitude=None) diag == 1
+    p_v = k_tilde[:, None] + sig_quad                     # (C, V, T)
+
+    log2pi = jnp.asarray(linalg.LOG_2PI, dtype)
+    sum_terms = -0.5 * (
+        jnp.einsum("cvt,ct->cv", prec, k_tilde)
+        + jnp.sum(prec * sig_quad, axis=-1)
+        + jnp.sum(jnp.log(nc), axis=-1)
+        + T * log2pi
+        + jnp.sum(prec * (yc - p_m) ** 2, axis=-1))       # (C, V)
+
+    # logdet A_hat = 2 logdet Kmm - logdet Sigma; logdet_K - logdet_A ==
+    # logdet_S - logdet_K in both KL variants
+    ld_gap = logdet_S - logdet_K[:, None]                 # (C, V)
+    m_f = jnp.asarray(m, dtype)
+    if cfg.ball_kl_quirk:
+        # reference quirk (SVGPVAE_model.py:134-137): A_hat-quadratic
+        # term sum(A ⊙ Kmm^{-1} A) = tr(Kmm E E) with E = Sigma^{-1} Kmm
+        quirk_quad = jnp.einsum("cmp,cvpq,cvqm->cv", Kmm, E, E)
+        kl_terms = 0.5 * (ld_gap - m_f + tr_SiK + quirk_quad)
+    else:
+        quad = jnp.einsum("cvm,cmp,cvp->cv", sir, Kmm, sir)
+        kl_terms = 0.5 * (tr_SiK + quad - m_f + ld_gap)
+
+    gp_cov_mean = (Knn
+                   - jnp.einsum("ctm,cms->cts", Knm, W_ny)
+                   + jnp.einsum("ctm,cms->cts", Knm,
+                                jnp.mean(SigInv_Kmn, axis=1)))
+
+    return (jnp.moveaxis(p_m, 0, -1), jnp.moveaxis(p_v, 0, -1),
+            sum_terms.T, kl_terms.T, jnp.moveaxis(gp_cov_mean, 0, -1))

@@ -15,6 +15,7 @@ from jax import Array
 
 from svgpvae_tpu import linalg
 from svgpvae_tpu.gp.exact import gp_regression_1d
+from svgpvae_tpu.gp.fused import ball_gp_block
 from svgpvae_tpu.gp.svgp import (BallSVGP, ball_posterior_params,
                                  ball_variational_loss)
 
@@ -78,9 +79,15 @@ def _bernoulli_recon(vids: Array, logits: Array) -> Array:
 
 def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
                       gp: BallSVGP, vids: Array, beta, key,
-                      clip_qs: bool = False) -> BallOutputs:
+                      clip_qs: bool = False,
+                      gp_block_impl: str = "reference") -> BallOutputs:
     """SVGPVAE ELBO on ball videos (reference: build_SVGPVAE_elbo_graph,
-    SVGPVAE_model.py:638-715).  Times run 1..T."""
+    SVGPVAE_model.py:638-715).  Times run 1..T.
+
+    gp_block_impl: "reference" (two-pass, mirroring the reference call
+    structure) | "fused" (one-pass XLA, gp/fused.py ball_gp_block) |
+    "fused_pallas" (fused with the Pallas inverse megakernel).  The
+    fused paths apply to the Hensman family only (Titsias falls back)."""
     batch, tmax = vids.shape[0], vids.shape[1]
     times = jnp.arange(1, tmax + 1, dtype=vids.dtype)
 
@@ -89,19 +96,25 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
     if clip_qs:
         qnet_var = jnp.clip(qnet_var, *BALL_QVAR_CLIP)
 
-    p_m, p_cov, mu_hat, A_hat = ball_posterior_params(gp, times, qnet_mu,
-                                                      qnet_var)
-    sum_terms, kl_terms = ball_variational_loss(gp, times, qnet_mu, qnet_var,
-                                                mu_hat, A_hat)
+    use_fused = gp_block_impl != "reference" and not gp.config.titsias
+    if use_fused:
+        p_m, p_v, sum_terms, kl_terms, gp_cov_mean = ball_gp_block(
+            gp, times, qnet_mu, qnet_var,
+            inverse_impl="pallas" if gp_block_impl == "fused_pallas"
+            else "chol")
+    else:
+        p_m, p_cov, mu_hat, A_hat = ball_posterior_params(gp, times, qnet_mu,
+                                                          qnet_var)
+        sum_terms, kl_terms = ball_variational_loss(gp, times, qnet_mu,
+                                                    qnet_var, mu_hat, A_hat)
+        # (T, T, C) mean posterior covariance diagnostic (reference :689-690)
+        gp_cov_mean = jnp.mean(p_cov, axis=0)
+        p_v = jnp.diagonal(p_cov, axis1=1, axis2=2)  # (b, C, T) -> transpose
+        p_v = jnp.moveaxis(p_v, -1, 1)  # (b, T, C)
+
     inside_elbo_recon = jnp.sum(sum_terms, axis=-1)  # (batch,)
     inside_elbo_kl = jnp.sum(kl_terms, axis=-1)
     inside_elbo = inside_elbo_recon - inside_elbo_kl
-
-    # (T, T, C) mean posterior covariance diagnostic (reference :689-690)
-    gp_cov_mean = jnp.mean(p_cov, axis=0)
-
-    p_v = jnp.diagonal(p_cov, axis1=1, axis2=2)  # (b, C, T) -> transpose
-    p_v = jnp.moveaxis(p_v, -1, 1)  # (b, T, C)
 
     ce = linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var)
     ce_term = -jnp.sum(ce, axis=(1, 2))  # (batch,)

@@ -181,6 +181,112 @@ def test_fused_block_float64_self_parity():
         jax.config.update("jax_enable_x64", False)
 
 
+def _ball_problem(V=6, T=12, C=2, m=5, quirk=False):
+    R = np.random.RandomState(19)
+    gp = gpm.init_ball_svgp(m, tmin=1.0, tmax=float(T),
+                            length_scale_init=2.0)
+    gp = gp.replace(config=SVGPConfig(jitter=1e-8, ball_kl_quirk=quirk))
+    times = jnp.arange(1, T + 1, dtype=jnp.float32)
+    y = jnp.asarray(R.randn(V, T, C), jnp.float32)
+    noise = jnp.asarray(R.rand(V, T, C) + 0.5, jnp.float32)
+    return gp, times, y, noise
+
+
+def _ball_reference_block(gp, times, y, noise):
+    from svgpvae_tpu.gp.svgp import (ball_posterior_params,
+                                     ball_variational_loss)
+    p_m, p_cov, mu_hat, A_hat = ball_posterior_params(gp, times, y, noise)
+    sum_terms, kl_terms = ball_variational_loss(gp, times, y, noise,
+                                                mu_hat, A_hat)
+    p_v = jnp.moveaxis(jnp.diagonal(p_cov, axis1=1, axis2=2), -1, 1)
+    return p_m, p_v, sum_terms, kl_terms, jnp.mean(p_cov, axis=0)
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+@pytest.mark.parametrize("impl", ["chol", "pallas"])
+def test_ball_fused_block_matches_two_pass(quirk, impl, monkeypatch):
+    """ball_gp_block vs ball_posterior_params + ball_variational_loss:
+    posterior marginals, inside-ELBO terms, and the batch-mean covariance
+    diagnostic (computed via mean_v Sigma_v^{-1} in the fused path) must
+    agree; kl_terms gets the documented O(jitter) band (the two-pass KL
+    re-jitters A_hat, PARITY.md #10)."""
+    if impl == "pallas":
+        monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, times, y, noise = _ball_problem(quirk=quirk)
+    want = _ball_reference_block(gp, times, y, noise)
+    got = gpm.ball_gp_block(gp, times, y, noise, inverse_impl=impl)
+    names = ["p_m", "p_v", "sum_terms", "kl_terms", "gp_cov_mean"]
+    for name, g, w in zip(names, got, want):
+        w = np.asarray(w)
+        assert np.asarray(g).shape == w.shape, name
+        scale = max(np.abs(w).max(), 1.0)
+        atol = 5e-3 if name == "kl_terms" else 2e-4
+        np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                   atol=atol, err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["chol", "pallas"])
+def test_ball_fused_block_gradients_match_two_pass(impl, monkeypatch):
+    """Gradients w.r.t. GP params and encoder outputs through the fused
+    ball block match the two-pass path (what ball training consumes)."""
+    if impl == "pallas":
+        monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, times, y, noise = _ball_problem()
+
+    def objective(pieces):
+        p_m, p_v, sum_terms, kl_terms, _ = pieces
+        inside = jnp.sum(sum_terms) - jnp.sum(kl_terms)
+        return inside + jnp.sum(p_m ** 2) + jnp.sum(jnp.log(p_v))
+
+    def loss_ref(gp, y, noise):
+        return objective(_ball_reference_block(gp, times, y, noise))
+
+    def loss_fused(gp, y, noise):
+        return objective(gpm.ball_gp_block(gp, times, y, noise,
+                                           inverse_impl=impl))
+
+    np.testing.assert_allclose(float(loss_fused(gp, y, noise)),
+                               float(loss_ref(gp, y, noise)), rtol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(gp, y, noise)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(gp, y, noise)
+    leaves_r, _ = jax.tree_util.tree_flatten(g_ref)
+    leaves_f, _ = jax.tree_util.tree_flatten(g_fus)
+    assert len(leaves_r) == len(leaves_f)
+    for lr, lf in zip(leaves_r, leaves_f):
+        lr, lf = np.asarray(lr), np.asarray(lf)
+        scale = max(np.abs(lr).max(), 1e-3)
+        np.testing.assert_allclose(lf / scale, lr / scale, atol=5e-4)
+
+
+def test_ball_elbo_fused_matches_reference_impl():
+    """End-to-end ball_svgpvae_elbo with gp_block_impl='fused' matches the
+    reference impl on every output the training loop and metrics read."""
+    from svgpvae_tpu import models, nn as nets
+    R = np.random.RandomState(23)
+    batch, tmax, px = 4, 8, 16
+    vids = jnp.asarray(R.rand(batch, tmax, px, px), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    encoder = nets.BallEncoder()
+    decoder = nets.BallDecoder(px=px, py=px)
+    enc_params = encoder.init(key, vids)
+    dec_params = decoder.init(key, jnp.zeros((batch, tmax, 2)))
+    gp = gpm.init_ball_svgp(5, tmin=1.0, tmax=float(tmax),
+                            length_scale_init=2.0)
+    gp = gp.replace(config=SVGPConfig(jitter=1e-8))
+
+    outs = {}
+    for impl in ("reference", "fused"):
+        outs[impl] = models.ball_svgpvae_elbo(
+            encoder, enc_params, decoder, dec_params, gp, vids, 1.0, key,
+            clip_qs=True, gp_block_impl=impl)
+    for field in outs["reference"]._fields:
+        w = np.asarray(getattr(outs["reference"], field))
+        g = np.asarray(getattr(outs["fused"], field))
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(g / scale, w / scale, atol=5e-4,
+                                   err_msg=field)
+
+
 @pytest.mark.parametrize("impl", ["chol", "pallas"])
 def test_fused_block_gradients_match_two_pass(impl, monkeypatch):
     """Gradients of the inside-ELBO objective w.r.t. ALL GP parameters and
