@@ -55,9 +55,12 @@ REFERENCE_TF_CPU_STEP_SEC = 0.62  # estimate; superseded by measurement
 # harness itself; the numbers it prints are meaningless as benchmarks)
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
-# BENCH_GP_IMPL={reference,fused,fused_pallas} selects the GP-block
-# implementation for the train workloads (gp/fused.py head-to-head)
-GP_IMPL = os.environ.get("BENCH_GP_IMPL", "reference")
+# BENCH_GP_IMPL={reference,fused,fused_pallas,auto} selects the GP-block
+# implementation for the train workloads (gp/fused.py head-to-head).
+# Default "auto" (fused_pallas on TPU, reference elsewhere) — the shipped
+# default after the round-3 quality gates (RESULTS.md: 2000-epoch cgen
+# 0.03046/0.03096 vs 0.03019 two-pass, within seed noise)
+GP_IMPL = os.environ.get("BENCH_GP_IMPL", "auto")
 
 PEAK_FLOPS = (  # bf16 MXU peak per chip, by device_kind substring
     ("v5 lite", 197.0e12),
@@ -690,6 +693,10 @@ def main() -> None:
     import svgpvae_tpu  # noqa: F401
     import jax
 
+    global GP_IMPL
+    from svgpvae_tpu.models import resolve_gp_block_impl
+    GP_IMPL = resolve_gp_block_impl(GP_IMPL)
+
     peak = _peak_flops()
     only = os.environ.get("BENCH_ONLY")  # comma-separated workload filter
     suite = {}
@@ -722,7 +729,7 @@ def main() -> None:
         "suite": suite,
     }
     nonstandard = (SMOKE or only or os.environ.get("BENCH_BF16")
-                   or GP_IMPL != "reference")
+                   or os.environ.get("BENCH_GP_IMPL", "auto") != "auto")
     if steps_per_sec > 0 and not nonstandard:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LAST_GOOD.json"), "w") as f:

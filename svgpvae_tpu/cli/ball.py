@@ -50,11 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ip_min", type=float, default=1.0)
     p.add_argument("--ip_max", type=float, default=30.0)
     p.add_argument("--jitter", type=float, default=1e-9)
-    p.add_argument("--gp_block_impl", type=str, default="reference",
-                   choices=["reference", "fused", "fused_pallas"],
+    p.add_argument("--gp_block_impl", type=str, default="auto",
+                   choices=["reference", "fused", "fused_pallas", "auto"],
                    help="Hensman GP block: two-pass reference path, fused "
-                        "one-pass (gp/fused.py ball_gp_block), or fused + "
-                        "Pallas inverse megakernel")
+                        "one-pass (gp/fused.py ball_gp_block), fused + "
+                        "Pallas inverse megakernel, or auto (fused_pallas "
+                        "on TPU, reference elsewhere)")
     p.add_argument("--clip_grad", action="store_true")
     p.add_argument("--vidlt", type=float, default=2.0)
     p.add_argument("--GP_init", type=float, default=2.0)
@@ -76,6 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_experiment(args) -> dict:
+    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl)
     batch, px, py, r = 35, 32, 32, 3.0
     tmax = args.tmax
     model_lt = 0.001 if args.elbo == "VAE" else args.modellt

@@ -103,12 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "+ full-train encode + cgen) as ONE XLA program -- "
                         "one dispatch/readback instead of ~8; helps on "
                         "high-latency device links")
-    p.add_argument("--gp_block_impl", type=str, default="reference",
-                   choices=["reference", "fused", "fused_pallas"],
+    p.add_argument("--gp_block_impl", type=str, default="auto",
+                   choices=["reference", "fused", "fused_pallas", "auto"],
                    help="GP-block implementation for the Hensman training "
                         "forward: two-pass reference structure, one-pass "
-                        "fused XLA block, or fused with the Pallas inverse "
-                        "megakernel (gp/fused.py)")
+                        "fused XLA block, fused with the Pallas inverse "
+                        "megakernel (gp/fused.py), or auto (fused_pallas "
+                        "on TPU, reference elsewhere)")
     p.add_argument("--synthetic_digits", action="store_true",
                    help="allow multi-digit --dataset values to bootstrap "
                         "from synthetic seven-segment glyph base images "
@@ -1114,6 +1115,7 @@ def run_casale(args) -> dict:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl)
     if args.elbo.startswith("GPVAE_Casale"):
         # "GPVAE_Casale_batch" is accepted for reference-CLI parity; the
         # training pass is identical (the reference's batch variant only

@@ -6,6 +6,7 @@ from svgpvae_tpu.models.svgpvae import (  # noqa: F401
     precompute_gp_params,
     predict_cgen_sprites,
     sprites_aux_data,
+    resolve_gp_block_impl,
 )
 from svgpvae_tpu.models.vae import (  # noqa: F401
     VAEOutputs,

@@ -88,6 +88,8 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
     structure) | "fused" (one-pass XLA, gp/fused.py ball_gp_block) |
     "fused_pallas" (fused with the Pallas inverse megakernel).  The
     fused paths apply to the Hensman family only (Titsias falls back)."""
+    assert gp_block_impl in ("reference", "fused", "fused_pallas"), \
+        gp_block_impl  # "auto" must be resolved by the caller
     batch, tmax = vids.shape[0], vids.shape[1]
     times = jnp.arange(1, tmax + 1, dtype=vids.dtype)
 

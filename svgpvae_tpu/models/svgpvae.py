@@ -21,6 +21,22 @@ from svgpvae_tpu import linalg
 
 # q-network variance clip range (reference: SVGPVAE_model.py:858-859)
 QVAR_CLIP = (1e-3, 10.0)
+
+
+def resolve_gp_block_impl(impl: str) -> str:
+    """Resolve --gp_block_impl 'auto' by backend.
+
+    On TPU the fused block + Pallas inverse megakernel is the measured
+    winner at every trained shape (RESULTS.md round 3: 1.99x MNIST
+    north-star, 1.17x SPRITES) with quality pinned to the two-pass path;
+    off-TPU (CPU smoke runs, tests) the two-pass reference path is
+    faster (PROFILE_r03_mnist.json: fused 0.81x on CPU) and is the
+    parity anchor, so 'auto' keeps it.
+    """
+    if impl != "auto":
+        return impl
+    import jax
+    return "fused_pallas" if jax.default_backend() == "tpu" else "reference"
 # GP posterior variance clip for SPRITES (reference: SVGPVAE_model.py:891-892)
 PVAR_CLIP = (1e-4, 100.0)
 
@@ -96,6 +112,8 @@ def forward_pass_svgpvae(
     again once MSE < kappa^2.  Set lagrange_max=inf under float64 for
     bit-parity with the reference.
     """
+    assert gp_block_impl in ("reference", "fused", "fused_pallas"), \
+        gp_block_impl  # "auto" must be resolved by the caller
     images, aux_data = batch
     b = images.shape[0]
     K = images.shape[1] * images.shape[2] * images.shape[3]
