@@ -247,6 +247,43 @@ def wave5():
     ]
 
 
+def ball_job(expid, extra, steps=25000, timeout=1800):
+    py = sys.executable
+    cmd = [py, "-m", "svgpvae_tpu.cli.ball", "--elbo", "SVGPVAE_Hensman",
+           "--clip_qs", "--steps", str(steps), "--eval_every", "5000",
+           "--base_dir", "/tmp/ball_tpu", "--expid", expid, *extra]
+    return (expid, cmd, timeout, {})
+
+
+def wave6():
+    """Post-default-flip round-out: ball fused head-to-head (speed +
+    quality), SPRITES quality under the new fused_pallas default, and the
+    long-horizon quality-record run with the full latency stack."""
+    py = sys.executable
+    bench = [py, os.path.join(ROOT, "bench.py")]
+    bo = {"BENCH_ONLY": "ball_train"}
+    return [
+        # ball GP-block head-to-head on-chip (same bench workload)
+        ("bench_ball_ref", bench, 1200, {**bo, "BENCH_GP_IMPL": "reference"}),
+        ("bench_ball_fused", bench, 1200, {**bo, "BENCH_GP_IMPL": "fused"}),
+        ("bench_ball_pallas", bench, 1200,
+         {**bo, "BENCH_GP_IMPL": "fused_pallas"}),
+        # ball quality head-to-head at 25k steps, identical seed/flags:
+        # trajectory MSE (utils.mse_rotation) reference vs fused_pallas
+        ball_job("ball_ref_25k", ["--gp_block_impl", "reference"]),
+        ball_job("ball_pallas_25k", ["--gp_block_impl", "fused_pallas"]),
+        # SPRITES full-scale quality under the new default (auto ->
+        # fused_pallas): wave-3 f32 reference-impl baseline was 0.01640
+        ("sprites_full_pallas",
+         _sprites_full_cmd("r3full_pallas", []), 2400, {}),
+        # quality-record run: kappa^2=0.016 (best at 2k) x 8000 epochs
+        # (4000 was still improving) with the cheap-wall lever stack
+        mnist_job("kappa016x8k", ["--kappa_squared", "0.016",
+                                  "--epoch_chunk", "50"],
+                  epochs=8000, timeout=5400, eval_every=200) + ({},),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -254,7 +291,8 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
+            6: wave6}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
