@@ -44,4 +44,19 @@ if _os.environ.get("SVGPVAE_MATMUL_PRECISION"):
     _jax.config.update("jax_default_matmul_precision",
                        _os.environ["SVGPVAE_MATMUL_PRECISION"])
 
+# Opt-in persistent XLA compilation cache (SVGPVAE_COMPILATION_CACHE=<dir>).
+# On high-latency device links (this environment's TPU tunnel) compilation
+# is the dominant wall-clock cost of a repeat-config run: the 1000-epoch
+# north-star via --epoch_chunk spends ~53 s executing and ~60 s compiling.
+# The cache persists serialized executables across processes keyed on HLO,
+# so sweeps and re-runs of identical configs skip the compile entirely.
+_cache_dir = _os.environ.get("SVGPVAE_COMPILATION_CACHE")
+if _cache_dir:
+    try:  # pragma: no cover - exercised on real backends
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 from svgpvae_tpu import kernels, linalg  # noqa: F401
