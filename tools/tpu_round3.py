@@ -284,6 +284,20 @@ def wave6():
     ]
 
 
+def wave7():
+    """Persistent-compilation-cache measurement through the tunnel: the
+    same chunked 1000-epoch north-star run cold (populating the cache)
+    then warm (hitting it) — the wall delta is the compile cost the cache
+    removes on repeat configs/sweeps."""
+    cache = {"SVGPVAE_COMPILATION_CACHE": "/tmp/xla_cache_r3"}
+    return [
+        mnist_job("cache_cold", ["--epoch_chunk", "50"], epochs=1000,
+                  timeout=1800) + (cache,),
+        mnist_job("cache_warm", ["--epoch_chunk", "50"], epochs=1000,
+                  timeout=1800) + (cache,),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -292,7 +306,7 @@ def main():
     args = p.parse_args()
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
-            6: wave6}[args.wave]()
+            6: wave6, 7: wave7}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
