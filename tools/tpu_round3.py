@@ -289,12 +289,24 @@ def wave7():
     same chunked 1000-epoch north-star run cold (populating the cache)
     then warm (hitting it) — the wall delta is the compile cost the cache
     removes on repeat configs/sweeps."""
+    py = sys.executable
+    bench = [py, os.path.join(ROOT, "bench.py")]
     cache = {"SVGPVAE_COMPILATION_CACHE": "/tmp/xla_cache_r3"}
     return [
         mnist_job("cache_cold", ["--epoch_chunk", "50"], epochs=1000,
                   timeout=1800) + (cache,),
         mnist_job("cache_warm", ["--epoch_chunk", "50"], epochs=1000,
                   timeout=1800) + (cache,),
+        # SPRITES speed with the full stack: fused_pallas default + bf16
+        ("bench_sprites_bf16_pallas", bench, 1500,
+         {"BENCH_ONLY": "sprites_train", "BENCH_BF16": "1"}),
+        # Casale on TPU at 4x the round-2 CPU epoch budget (3-way regime)
+        ("casale_tpu", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                        "GPVAE_Casale", "--GP_joint", "--ov_joint",
+                        "--clip_qs", "--PCA", "--mnist_data_path", MNIST,
+                        "--opt_regime", "VAE-100", "GP-100", "joint-200",
+                        "--eval_every", "50", "--base_dir", "/tmp/mnist_tpu",
+                        "--expid", "casale_tpu"], 3600, {}),
     ]
 
 
