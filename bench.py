@@ -256,9 +256,13 @@ def bench_sprites_train(peak):
     if SMOKE:
         b, n_batches = 50, 2
 
-    vae = nets.SpritesVAE(L=L)
+    # BENCH_BF16=1 runs the conv/repr nets in bfloat16 (the driver's
+    # --bf16 mode; GP math stays f32 via the scoped linalg.precise)
+    net_dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") == "1" \
+        else jnp.float32
+    vae = nets.SpritesVAE(L=L, dtype=net_dtype)
     vae_params = vae.init(key, jnp.zeros((2, 64, 64, 3)))
-    repr_net = nets.SpritesReprNet(L=L_char)
+    repr_net = nets.SpritesReprNet(L=L_char, dtype=net_dtype)
     repr_params = repr_net.init(key, jnp.zeros((2, 64, 64, 3)))
     gp = gpm.init_sprites_svgp(
         rng.normal(0, 1.5, (n_actions, L_action + L_char)),
