@@ -61,6 +61,7 @@ SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 # default after the round-3 quality gates (RESULTS.md: 2000-epoch cgen
 # 0.03046/0.03096 vs 0.03019 two-pass, within seed noise)
 GP_IMPL = os.environ.get("BENCH_GP_IMPL", "auto")
+GP_IMPL_SPRITES = GP_IMPL  # resolved per-workload in main()
 
 PEAK_FLOPS = (  # bf16 MXU peak per chip, by device_kind substring
     ("v5 lite", 197.0e12),
@@ -284,7 +285,7 @@ def bench_sprites_train(peak):
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
             kappa=kappa, clip_qs=True, geco=True,
             repr_apply=repr_net.apply, repr_params=params["repr"],
-            frames_per_char=fpc, gp_block_impl=GP_IMPL)
+            frames_per_char=fpc, gp_block_impl=GP_IMPL_SPRITES)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
         return out.elbo, (new_geco, {"recon": out.recon_loss})
@@ -697,8 +698,11 @@ def main() -> None:
     import svgpvae_tpu  # noqa: F401
     import jax
 
-    global GP_IMPL
+    global GP_IMPL, GP_IMPL_SPRITES
     from svgpvae_tpu.models import resolve_gp_block_impl
+    # per-workload: auto -> reference on SPRITES (closed-form-KL carve-out,
+    # models.resolve_gp_block_impl docstring), fused_pallas-on-TPU elsewhere
+    GP_IMPL_SPRITES = resolve_gp_block_impl(GP_IMPL, workload="sprites")
     GP_IMPL = resolve_gp_block_impl(GP_IMPL)
 
     peak = _peak_flops()

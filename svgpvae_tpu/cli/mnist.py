@@ -199,6 +199,9 @@ def object_vectors_init(args):
 
 
 def run_svgpvae(args) -> dict:
+    # idempotent: main() already resolves, but tests/other callers may
+    # drive run_svgpvae directly with the parser default "auto"
+    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
         if args.bf16:

@@ -95,8 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gp_block_impl", type=str, default="auto",
                    choices=["reference", "fused", "fused_pallas", "auto"],
                    help="GP-block implementation for the Hensman training "
-                        "forward (see gp/fused.py); auto = fused_pallas "
-                        "on TPU, reference elsewhere")
+                        "forward (see gp/fused.py); auto = reference on "
+                        "SPRITES on every backend (the fused closed-form "
+                        "KL diverges on this rank-deficient kernel — "
+                        "RESULTS.md round 3)")
     p.add_argument("--reshuffle", action="store_true",
                    help="reshuffle the example order each epoch inside the "
                         "epoch-scan program (the reference's tf.data "
@@ -121,7 +123,8 @@ def ensure_dataset(args) -> None:
 
 
 def run_experiment(args) -> dict:
-    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl)
+    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl,
+                                                      workload="sprites")
     assert args.object_kernel_normalize + args.K_SE <= 1, \
         "at most one GP kernel engineering flag at once"
     fpc_train = 50  # train frames per character (SPRITES_experiment.py:37)

@@ -23,18 +23,35 @@ from svgpvae_tpu import linalg
 QVAR_CLIP = (1e-3, 10.0)
 
 
-def resolve_gp_block_impl(impl: str) -> str:
-    """Resolve --gp_block_impl 'auto' by backend.
+def resolve_gp_block_impl(impl: str, workload: str = "mnist") -> str:
+    """Resolve --gp_block_impl 'auto' by backend AND workload.
 
     On TPU the fused block + Pallas inverse megakernel is the measured
-    winner at every trained shape (RESULTS.md round 3: 1.99x MNIST
-    north-star, 1.17x SPRITES) with quality pinned to the two-pass path;
-    off-TPU (CPU smoke runs, tests) the two-pass reference path is
-    faster (PROFILE_r03_mnist.json: fused 0.81x on CPU) and is the
-    parity anchor, so 'auto' keeps it.
+    winner on the MNIST and ball workloads (RESULTS.md round 3: 1.99x
+    MNIST north-star, 2.56x ball) with quality pinned to the two-pass
+    path at 2000-epoch / 25k-step horizons; off-TPU (CPU smoke runs,
+    tests) the two-pass reference path is faster (fused 0.81x on CPU)
+    and is the parity anchor, so 'auto' keeps it.
+
+    SPRITES is carved out: its product-of-linear kernel makes Kmm
+    numerically singular at m=72 (measured lambda_min ~ -2e-14 — rank
+    << m; only the 1e-6 jitter keeps it PD), and on such a spectrum the
+    fused block's closed-form KL identity (logdet A_hat = 2 logdet Kmm
+    - logdet Sigma) diverges from the two-pass path's A_hat-rejittered
+    KL by ~3.6 RELATIVE in exact float64 arithmetic — the identity
+    charges the kernel's null-space directions log(jitter^2/lambda_Sigma)
+    apiece while the rejittered form ignores them.  That extra KL
+    pressure pins GP/GPLVM learning: full-scale 30-epoch runs plateau
+    at cgen 0.0204 under BOTH 'fused' and 'fused_pallas' (bit-identical
+    best MSE — semantics, not kernel numerics) vs 0.0164 for the
+    two-pass path (RESULTS.md round 3).  'auto' therefore resolves to
+    'reference' for workload='sprites' on every backend; the fused
+    impls stay available behind the explicit flag.
     """
     if impl != "auto":
         return impl
+    if workload == "sprites":
+        return "reference"
     import jax
     return "fused_pallas" if jax.default_backend() == "tpu" else "reference"
 # GP posterior variance clip for SPRITES (reference: SVGPVAE_model.py:891-892)

@@ -29,6 +29,21 @@ def _mnist_setup(b=8, L=4, M=3, m=6, n_obj=10, titsias=False):
     return vae, vae_params, gp, images, aux
 
 
+def test_resolve_gp_block_impl_workload_aware():
+    """'auto' is backend- AND workload-aware: SPRITES must resolve to the
+    two-pass path on every backend (its rank-deficient kernel breaks the
+    fused closed-form-KL equivalence — PARITY.md #10, RESULTS.md round
+    3); explicit impls pass through untouched."""
+    for workload in ("mnist", "ball", "sprites"):
+        for impl in ("reference", "fused", "fused_pallas"):
+            assert models.resolve_gp_block_impl(impl, workload) == impl
+    assert models.resolve_gp_block_impl("auto", "sprites") == "reference"
+    expected = ("fused_pallas" if jax.default_backend() == "tpu"
+                else "reference")
+    assert models.resolve_gp_block_impl("auto", "mnist") == expected
+    assert models.resolve_gp_block_impl("auto", "ball") == expected
+
+
 def test_svgpvae_plain_objective_identity():
     vae, vae_params, gp, images, aux = _mnist_setup()
     out = models.forward_pass_svgpvae(
