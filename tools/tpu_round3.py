@@ -310,6 +310,32 @@ def wave7():
     ]
 
 
+def wave8():
+    """Quality-record extensions after the SPRITES default fix: longer
+    SPRITES horizon under the (quality-correct) two-pass default, longer
+    Casale 3-way joint phase (0.0412 at 400 ep was still improving), and
+    a second seed of the kappa^2=0.016 x 8000 MNIST record."""
+    py = sys.executable
+    return [
+        # SPRITES 90 epochs at full scale (30-ep run was still descending
+        # fast: train MSE 0.00924 and ELBO dropping ~10/epoch at ep 29)
+        # (the trailing --opt_regime overrides the base command's joint-30)
+        ("sprites_full_90ep",
+         _sprites_full_cmd("r3full_90ep", ["--opt_regime", "joint-90"]),
+         3000, {}),
+        ("casale_tpu_800", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                            "GPVAE_Casale", "--GP_joint", "--ov_joint",
+                            "--clip_qs", "--PCA", "--mnist_data_path", MNIST,
+                            "--opt_regime", "VAE-100", "GP-100", "joint-600",
+                            "--eval_every", "50", "--base_dir",
+                            "/tmp/mnist_tpu", "--expid", "casale_tpu_800"],
+         5400, {}),
+        mnist_job("kappa016x8k_s1", ["--kappa_squared", "0.016",
+                                     "--epoch_chunk", "50", "--seed", "1"],
+                  epochs=8000, timeout=5400, eval_every=200) + ({},),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -318,7 +344,7 @@ def main():
     args = p.parse_args()
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
-            6: wave6, 7: wave7}[args.wave]()
+            6: wave6, 7: wave7, 8: wave8}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
