@@ -148,6 +148,53 @@ def test_fused_block_matches_two_pass(problem, impl, monkeypatch):
                                    atol=atol, err_msg=name)
 
 
+def test_fused_kl_diverges_on_rank_deficient_kernel():
+    """Guard for the SPRITES carve-out (PARITY.md #10, RESULTS.md round
+    3): on a rank-deficient product-linear Kmm (rank <= L_act*L_char=12
+    < m=24, PD only through jitter) with Sigma large enough to engage
+    the relative Sigma ridge, the fused closed-form KL genuinely
+    DIVERGES from the two-pass A_hat-rejittered KL — measured here in
+    float64 through the real code paths, so this is semantics, not
+    roundoff.  Mechanism: Kmm and Sigma share the low-rank feature span,
+    but Sigma's null-direction eigenvalue is its (diag-scaled) relative
+    ridge while Kmm's is the absolute 1e-6 jitter, so the identity
+    2 ld K - ld Sigma charges each null direction
+    log(jitter^2/sigma_ridge) where the rejittered two-pass form pays
+    ~log(jitter).  If this test ever fails "the good way" (the gap
+    closes), the fused impls may be re-gated for SPRITES; until then
+    resolve_gp_block_impl must keep sprites -> reference."""
+    R = np.random.RandomState(5)
+    b, L, m, L_act, L_char, n_act = 40, 4, 24, 3, 4, 8
+    jax.config.update("jax_enable_x64", True)
+    try:
+        gp = gpm.init_sprites_svgp(
+            R.randn(m, L_act + L_char), R.randn(n_act, L_act),
+            L_action=L_act,
+            config=SVGPConfig(jitter=1e-6, N_train=100 * b),
+            dtype=jnp.float64)
+        aux = jnp.asarray(np.hstack([
+            R.randint(0, n_act, (b, 1)).astype(float),
+            R.randn(b, L_char)]), jnp.float64)
+        y = jnp.asarray(R.randn(b, L), jnp.float64)
+        # high encoder precision -> Sigma ~ (N/b) * Knm^T prec Knm large
+        noise = jnp.asarray(R.rand(b, L) * 0.01 + 0.001, jnp.float64)
+
+        want = _reference_block(gp, aux, y, noise)
+        got = gpm.gp_block_hensman(gp, aux, y, noise)
+        names = ["p_m", "p_v", "sum_terms"]
+        for name, g, w in zip(names, got, want):
+            w = np.asarray(w)
+            scale = max(np.abs(w).max(), 1.0)
+            np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                       atol=1e-8, err_msg=name)
+        klw = np.asarray(want[3])
+        klg = np.asarray(got[3])
+        rel_gap = np.abs(klg - klw).max() / np.abs(klw).max()
+        assert rel_gap > 0.5, rel_gap  # measured 1.84 at this seed
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_fused_block_float64_self_parity():
     """Fused-block f32 vs the same formulas in f64 (the repo's naive-f64
     parity standard, CLAUDE.md) — tight, no semantic slack."""
