@@ -57,7 +57,11 @@ def make_optimizer(learning_rate, mask=None,
     zero updates.  `learning_rate` may be a float or an optax schedule.
 
     An all-True mask is dropped (no reason to pay the multi_transform
-    wrapper for it).  Note: `optax.flatten` was evaluated for the per-leaf
+    wrapper for it).  Checkpoint caveat: dropping vs keeping the
+    multi_transform wrapper changes the optimizer-state pytree structure,
+    so an orbax `--resume_dir` restore requires the SAME trainability
+    configuration (same set of frozen leaves) as the run that wrote the
+    checkpoint.  Note: `optax.flatten` was evaluated for the per-leaf
     Adam (0.17 ms scan-timed standalone, PROFILE_r02.json) and measured
     throughput-neutral inside the epoch scan — XLA already schedules the
     tiny per-leaf updates into scheduling gaps — so the plain per-leaf
