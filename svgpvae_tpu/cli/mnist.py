@@ -104,12 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "one dispatch/readback instead of ~8; helps on "
                         "high-latency device links")
     p.add_argument("--gp_block_impl", type=str, default="auto",
-                   choices=["reference", "fused", "fused_pallas", "auto"],
+                   choices=["reference", "fused", "fused_pallas",
+                            "fused_rejitter", "auto"],
                    help="GP-block implementation for the Hensman training "
                         "forward: two-pass reference structure, one-pass "
                         "fused XLA block, fused with the Pallas inverse "
-                        "megakernel (gp/fused.py), or auto (fused_pallas "
-                        "on TPU, reference elsewhere)")
+                        "megakernel, fused with the two-pass rejittered KL "
+                        "(gp/fused.py), or auto (fused_pallas on TPU, "
+                        "reference elsewhere)")
     p.add_argument("--synthetic_digits", action="store_true",
                    help="allow multi-digit --dataset values to bootstrap "
                         "from synthetic seven-segment glyph base images "

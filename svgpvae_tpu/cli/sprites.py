@@ -93,12 +93,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the conv nets (VAE + repr net) in bfloat16; "
                         "GP linear algebra stays float32")
     p.add_argument("--gp_block_impl", type=str, default="auto",
-                   choices=["reference", "fused", "fused_pallas", "auto"],
+                   choices=["reference", "fused", "fused_pallas",
+                            "fused_rejitter", "auto"],
                    help="GP-block implementation for the Hensman training "
                         "forward (see gp/fused.py); auto = reference on "
                         "SPRITES on every backend (the fused closed-form "
                         "KL diverges on this rank-deficient kernel — "
-                        "RESULTS.md round 3)")
+                        "RESULTS.md round 3); fused_rejitter keeps the "
+                        "one-pass dedup but computes the two-pass "
+                        "rejittered KL (null-space-safe)")
     p.add_argument("--reshuffle", action="store_true",
                    help="reshuffle the example order each epoch inside the "
                         "epoch-scan program (the reference's tf.data "

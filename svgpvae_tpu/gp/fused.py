@@ -52,18 +52,38 @@ from svgpvae_tpu.ops.gp_stats import gp_stats
 
 @linalg.precise
 def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
-                     inverse_impl: str = "chol"):
+                     inverse_impl: str = "chol",
+                     kl_impl: str = "identity"):
     """Posterior params + Hensman inside-ELBO terms in one pass.
 
     aux: (b, D) minibatch index points; y/noise: (b, L) encoder means /
     variances.  Returns (p_m (b, L), p_v (b, L), sum_terms (L,),
     kl_terms (L,), mu_hat (L, m)).
 
+    kl_impl selects how logdet A_hat enters the KL:
+      "identity"  closed form (logdet A_hat = 2 logdet Kmm - logdet Sigma)
+                  — zero extra factorizations, but on a rank-deficient
+                  Kmm (the SPRITES product-linear kernel at m=72) it
+                  charges each kernel null-space direction
+                  log(jitter^2/lambda_Sigma), diverging from the
+                  reference's semantics (PARITY.md #10, RESULTS.md r3).
+      "rejitter"  materialize A_hat = Kmm Sigma^{-1} Kmm and refactorize
+                  it with jitter — the exact two-pass/reference KL
+                  (mvn_kl_against_prior on the shared Kmm_chol), at the
+                  cost of one extra batched (L, m, m) matmul + Cholesky.
+                  Null-space-safe; requires inverse_impl="chol" (the
+                  explicit-inverse path additionally corrupts p_m on
+                  such spectra, so it is never the right pairing).
+
     Equivalent to
         posterior_params(gp, aux, aux, y, noise) +
         hensman_terms(gp, ..., mu_hat, A_hat)
-    (tests/test_fused_gp.py pins outputs AND gradients to that path).
+    (tests/test_fused_gp.py pins outputs AND gradients to that path;
+    with kl_impl="rejitter" the KL parity is exact even on
+    rank-deficient kernels).
     """
+    if kl_impl == "rejitter" and inverse_impl != "chol":
+        raise ValueError("kl_impl='rejitter' requires inverse_impl='chol'")
     cfg = gp.config
     b, L = y.shape
     dtype = y.dtype
@@ -109,9 +129,9 @@ def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
         W_ny = linalg.cho_solve(Kmm_chol, Knm.T)
         SigInv_Kmn = linalg.cho_solve(
             Sigma_chol, jnp.broadcast_to(Knm.T, (L,) + Knm.T.shape))
-        tr_SiK = jnp.trace(
-            linalg.cho_solve(Sigma_chol, jnp.broadcast_to(Kmm, Sigma.shape)),
-            axis1=-2, axis2=-1)
+        E = linalg.cho_solve(                             # Sigma^{-1} Kmm
+            Sigma_chol, jnp.broadcast_to(Kmm, Sigma.shape))
+        tr_SiK = jnp.trace(E, axis1=-2, axis2=-1)
 
     # posterior at the batch points (== the Hensman mean vector / wAw)
     p_m = scale * jnp.einsum("bm,lm->bl", Knm, sir)       # (b, L)
@@ -129,13 +149,25 @@ def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
         + jnp.sum(precision * (y - p_m) ** 2, axis=0)
     )                                                     # (L,)
 
-    # KL( N(mu_hat, K Sigma^{-1} K) || N(0, K) ) via the logdet identity
-    quad = scale * scale * jnp.einsum("lm,mp,lp->l", sir, Kmm, sir)
-    kl_terms = 0.5 * (tr_SiK + quad
-                      - jnp.asarray(m, dtype)
-                      - logdet_K + logdet_S)              # (L,)
-
     mu_hat = scale * jnp.einsum("mp,lp->lm", Kmm, sir)    # (L, m)
+
+    if kl_impl == "rejitter":
+        # KL exactly as the two-pass path computes it (gp/svgp.py
+        # posterior_params + hensman_terms): materialize
+        # A_hat = Kmm Sigma^{-1} Kmm from the already-available
+        # E = Sigma^{-1} Kmm and refactorize with jitter
+        A_hat = Kmm[None] @ E                             # (L, m, m)
+        kl_terms = jax.vmap(
+            lambda mu, S: linalg.mvn_kl_against_prior(
+                mu, S, Kmm_chol, cfg.jitter))(mu_hat, A_hat)
+    else:
+        # KL( N(mu_hat, K Sigma^{-1} K) || N(0, K) ) via the logdet
+        # identity
+        quad = scale * scale * jnp.einsum("lm,mp,lp->l", sir, Kmm, sir)
+        kl_terms = 0.5 * (tr_SiK + quad
+                          - jnp.asarray(m, dtype)
+                          - logdet_K + logdet_S)          # (L,)
+
     return p_m, p_v, sum_terms, kl_terms, mu_hat
 
 

@@ -46,7 +46,12 @@ def resolve_gp_block_impl(impl: str, workload: str = "mnist") -> str:
     best MSE — semantics, not kernel numerics) vs 0.0164 for the
     two-pass path (RESULTS.md round 3).  'auto' therefore resolves to
     'reference' for workload='sprites' on every backend; the fused
-    impls stay available behind the explicit flag.
+    impls stay available behind the explicit flag.  'fused_rejitter'
+    (one-pass dedup + the exact two-pass rejittered KL, gp/fused.py) is
+    the null-space-safe fused candidate; it becomes the sprites auto
+    choice only if/when a full-scale 30-epoch TPU quality gate matches
+    the two-pass cgen (small-scale CPU gates provably miss this
+    divergence — RESULTS.md round 3).
     """
     if impl != "auto":
         return impl
@@ -129,7 +134,8 @@ def forward_pass_svgpvae(
     again once MSE < kappa^2.  Set lagrange_max=inf under float64 for
     bit-parity with the reference.
     """
-    assert gp_block_impl in ("reference", "fused", "fused_pallas"), \
+    assert gp_block_impl in ("reference", "fused", "fused_pallas",
+                             "fused_rejitter"), \
         gp_block_impl  # "auto" must be resolved by the caller
     images, aux_data = batch
     b = images.shape[0]
@@ -155,17 +161,22 @@ def forward_pass_svgpvae(
                                     aux_data, frames_per_char).astype(dtype)
 
     # GP posterior + inside-ELBO, all channels at once.  gp_block_impl:
-    #   "reference"    two-pass path mirroring the reference call structure
-    #   "fused"        one-pass XLA block (shared factorizations, closed-
-    #                  form KL; gp/fused.py) — same math, fewer kernels
-    #   "fused_pallas" fused block with the Pallas inverse megakernel
+    #   "reference"      two-pass path mirroring the reference call structure
+    #   "fused"          one-pass XLA block (shared factorizations, closed-
+    #                    form KL; gp/fused.py) — same math, fewer kernels
+    #   "fused_pallas"   fused block with the Pallas inverse megakernel
+    #   "fused_rejitter" fused block with the two-pass A_hat-rejittered KL
+    #                    (null-space-safe on rank-deficient kernels, e.g.
+    #                    SPRITES product-linear at m=72; PARITY.md #10)
     use_fused = (gp_block_impl != "reference"
                  and not gp_params.config.titsias and not bias_analysis)
     if use_fused:
         p_m, p_v, sum_terms, kl_terms, _ = gpm.gp_block_hensman(
             gp_params, aux_data, qnet_mu, qnet_var,
             inverse_impl="pallas" if gp_block_impl == "fused_pallas"
-            else "chol")
+            else "chol",
+            kl_impl="rejitter" if gp_block_impl == "fused_rejitter"
+            else "identity")
     else:
         p_m, p_v, mu_hat, A_hat = gpm.posterior_params(
             gp_params, aux_data, aux_data, qnet_mu, qnet_var)

@@ -148,6 +148,63 @@ def test_fused_block_matches_two_pass(problem, impl, monkeypatch):
                                    atol=atol, err_msg=name)
 
 
+@pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
+def test_fused_rejitter_matches_two_pass(problem):
+    """kl_impl='rejitter' computes the EXACT two-pass KL (A_hat
+    materialized + refactorized with jitter), so unlike the identity
+    form it gets the same tight tolerance as every other output."""
+    gp, aux, y, noise = problem()
+    want = _reference_block(gp, aux, y, noise)
+    got = gpm.gp_block_hensman(gp, aux, y, noise, kl_impl="rejitter")
+    names = ["p_m", "p_v", "sum_terms", "kl_terms", "mu_hat"]
+    for name, g, w in zip(names, got, want):
+        w = np.asarray(w)
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                   atol=2e-4, err_msg=name)
+
+
+def test_fused_rejitter_requires_chol():
+    gp, aux, y, noise = _mnist_problem()
+    with pytest.raises(ValueError):
+        gpm.gp_block_hensman(gp, aux, y, noise, inverse_impl="pallas",
+                             kl_impl="rejitter")
+
+
+def test_fused_rejitter_matches_two_pass_on_rank_deficient_kernel():
+    """The SPRITES-killer fixture (same construction as the divergence
+    guard below): on the rank-deficient product-linear Kmm where the
+    identity-KL fused block diverges by >0.5 relative, the rejitter
+    variant matches the two-pass path to float64 roundoff on EVERY
+    output including the KL — it is the same formula evaluated from the
+    same factorizations."""
+    R = np.random.RandomState(5)
+    b, L, m, L_act, L_char, n_act = 40, 4, 24, 3, 4, 8
+    jax.config.update("jax_enable_x64", True)
+    try:
+        gp = gpm.init_sprites_svgp(
+            R.randn(m, L_act + L_char), R.randn(n_act, L_act),
+            L_action=L_act,
+            config=SVGPConfig(jitter=1e-6, N_train=100 * b),
+            dtype=jnp.float64)
+        aux = jnp.asarray(np.hstack([
+            R.randint(0, n_act, (b, 1)).astype(float),
+            R.randn(b, L_char)]), jnp.float64)
+        y = jnp.asarray(R.randn(b, L), jnp.float64)
+        noise = jnp.asarray(R.rand(b, L) * 0.01 + 0.001, jnp.float64)
+
+        want = _reference_block(gp, aux, y, noise)
+        got = gpm.gp_block_hensman(gp, aux, y, noise, kl_impl="rejitter")
+        names = ["p_m", "p_v", "sum_terms", "kl_terms", "mu_hat"]
+        for name, g, w in zip(names, got, want):
+            w = np.asarray(w)
+            scale = max(np.abs(w).max(), 1.0)
+            np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                       atol=1e-8, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_fused_kl_diverges_on_rank_deficient_kernel():
     """Guard for the SPRITES carve-out (PARITY.md #10, RESULTS.md round
     3): on a rank-deficient product-linear Kmm (rank <= L_act*L_char=12
@@ -334,13 +391,15 @@ def test_ball_elbo_fused_matches_reference_impl():
                                    err_msg=field)
 
 
-@pytest.mark.parametrize("impl", ["chol", "pallas"])
+@pytest.mark.parametrize("impl", ["chol", "pallas", "rejitter"])
 def test_fused_block_gradients_match_two_pass(impl, monkeypatch):
     """Gradients of the inside-ELBO objective w.r.t. ALL GP parameters and
     the encoder outputs must match the two-pass reference path — this is
     what training actually consumes."""
     if impl == "pallas":
         monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    kl_impl = "rejitter" if impl == "rejitter" else "identity"
+    inverse_impl = impl if impl in ("chol", "pallas") else "chol"
     gp, aux, y, noise = _mnist_problem()
     b = y.shape[0]
 
@@ -357,7 +416,8 @@ def test_fused_block_gradients_match_two_pass(impl, monkeypatch):
 
     def loss_fused(gp, y, noise):
         return objective(gpm.gp_block_hensman(gp, aux, y, noise,
-                                              inverse_impl=impl))
+                                              inverse_impl=inverse_impl,
+                                              kl_impl=kl_impl))
 
     val_r = loss_ref(gp, y, noise)
     val_f = loss_fused(gp, y, noise)

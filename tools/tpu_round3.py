@@ -336,6 +336,31 @@ def wave8():
     ]
 
 
+def wave9():
+    """fused_rejitter SPRITES gate (the null-space-safe fused KL: one-pass
+    dedup + the exact two-pass A_hat-rejittered KL) + a bf16 long-horizon
+    record attempt.  Gate bar: the 30-epoch canonical run must land on the
+    two-pass trajectory (cgen ~0.0164, NOT the 0.0204 identity-KL
+    plateau)."""
+    py = sys.executable
+    bench = [py, os.path.join(ROOT, "bench.py")]
+    return [
+        ("sprites_full_rejitter",
+         _sprites_full_cmd("r3full_rejitter",
+                           ["--gp_block_impl", "fused_rejitter"]),
+         2400, {}),
+        ("bench_sprites_rejitter", bench, 1500,
+         {"BENCH_ONLY": "sprites_train",
+          "BENCH_GP_IMPL": "fused_rejitter"}),
+        # bf16 at the 90-epoch horizon: at 30 ep bf16 trailed f32 by ~6%
+        # relative but was still improving; the f32 90-ep run hit 0.01537
+        ("sprites_full_90ep_bf16",
+         _sprites_full_cmd("r3full_90ep_bf16",
+                           ["--bf16", "--opt_regime", "joint-90"]),
+         3000, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -344,7 +369,7 @@ def main():
     args = p.parse_args()
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
-            6: wave6, 7: wave7, 8: wave8}[args.wave]()
+            6: wave6, 7: wave7, 8: wave8, 9: wave9}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
