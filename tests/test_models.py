@@ -44,6 +44,27 @@ def test_resolve_gp_block_impl_workload_aware():
     assert models.resolve_gp_block_impl("auto", "ball") == expected
 
 
+def test_svgpvae_forward_fused_rejitter_matches_reference():
+    """Model-level wiring check: forward_pass_svgpvae with
+    gp_block_impl='fused_rejitter' matches the two-pass reference impl on
+    every output the training loop reads (the rejittered KL is the exact
+    two-pass formula, so unlike 'fused' no loosened kl tolerance is
+    needed)."""
+    vae, vae_params, gp, images, aux = _mnist_setup()
+    outs = {}
+    for impl in ("reference", "fused_rejitter"):
+        outs[impl] = models.forward_pass_svgpvae(
+            vae, vae_params, gp, (images, aux), KEY, beta=0.001,
+            C_ma=0.0, lagrange_mult=1.0, alpha=0.99, kappa=np.sqrt(0.02),
+            geco=True, gp_block_impl=impl)
+    for field in outs["reference"]._fields:
+        w = np.asarray(getattr(outs["reference"], field))
+        g = np.asarray(getattr(outs["fused_rejitter"], field))
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(g / scale, w / scale, atol=5e-4,
+                                   err_msg=field)
+
+
 def test_svgpvae_plain_objective_identity():
     vae, vae_params, gp, images, aux = _mnist_setup()
     out = models.forward_pass_svgpvae(
