@@ -48,10 +48,12 @@ def resolve_gp_block_impl(impl: str, workload: str = "mnist") -> str:
     'reference' for workload='sprites' on every backend; the fused
     impls stay available behind the explicit flag.  'fused_rejitter'
     (one-pass dedup + the exact two-pass rejittered KL, gp/fused.py) is
-    the null-space-safe fused candidate; it becomes the sprites auto
-    choice only if/when a full-scale 30-epoch TPU quality gate matches
-    the two-pass cgen (small-scale CPU gates provably miss this
-    divergence — RESULTS.md round 3).
+    the null-space-safe fused variant: its full-scale 30-epoch TPU gate
+    PASSED (cgen 0.01649 vs two-pass 0.01640; the identity-KL impls
+    plateau at 0.0204), but its speed on SPRITES is neutral within
+    tunnel noise (the extra A_hat refactorization eats the one-pass
+    savings on this conv-dominated step), so 'auto' keeps the two-pass
+    parity anchor there (RESULTS.md round 3).
     """
     if impl != "auto":
         return impl
