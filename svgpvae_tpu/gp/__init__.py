@@ -16,7 +16,8 @@ from svgpvae_tpu.gp.svgp import (  # noqa: F401
     precompute_test_posterior_terms,
     posterior_from_precomputed,
 )
-from svgpvae_tpu.gp.fused import gp_block_hensman, ball_gp_block  # noqa: F401
+from svgpvae_tpu.gp.fused import (gp_block_hensman, gp_block_titsias,  # noqa: F401
+                                  ball_gp_block)
 from svgpvae_tpu.gp.exact import gp_regression_1d  # noqa: F401
 from svgpvae_tpu.gp.casale import (  # noqa: F401
     CasaleGP,

@@ -172,6 +172,93 @@ def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
 
 
 @linalg.precise
+def gp_block_titsias(gp, aux: Array, y: Array, noise: Array,
+                     inverse_impl: str = "chol"):
+    """Posterior params + Titsias L_T inside-ELBO terms in one pass.
+
+    The two-pass path (posterior_params + titsias_terms, gp/svgp.py)
+    assembles Kmm/Knm and factorizes Kmm twice, computes the q(u)
+    moments mu_hat/A_hat that the Titsias bound never reads (one
+    (L, m, m) solve + two matmuls wasted), and solves W = Kmm^{-1} Kmn
+    twice (posterior Nystrom + the Q gram).  Here everything is shared:
+    one assembly, one [Kmm; Sigma_1..L] factorization for the posterior,
+    one W solve feeding both diag(Q) == nystrom and Q itself, and
+    k_tilde = Knn_diag - nystrom feeding both p_v and the L_T trace
+    term (reference trace: sum_i prec_il (Knn_ii - Q_ii),
+    SVGPVAE_model.py:246-259).  The (L, b, b) covariance Cholesky of
+    Q + diag(noise_l) is inherent to the bound and stays.
+
+    inverse_impl="pallas" routes the (L+1, m, m) posterior stack through
+    the Pallas inverse megakernel; the (L, b, b) covariance keeps
+    Cholesky solves regardless (its spectrum is data-dependent and the
+    explicit-inverse error scales with cond(cov)).
+
+    aux: (b, D); y/noise: (b, L).  Returns (p_m (b, L), p_v (b, L),
+    l2_terms (L,), kl_terms == zeros (L,), mu_hat (L, m)).  Equivalent
+    to posterior_params + titsias_terms (tests/test_fused_gp.py).
+    """
+    cfg = gp.config
+    b, L = y.shape
+    dtype = y.dtype
+    scale = (cfg.N_train / b) if cfg.N_train else 1.0
+
+    z = gp.inducing_points
+    Kmm = gp.kmat(z, z)                                   # (m, m)
+    Knm = gp.kmat(aux, z, x_inducing=False)               # (b, m)
+    Knn_diag = gp.kdiag(aux, aux, x_inducing=False,
+                        y_inducing=False)                 # (b,)
+
+    precision = linalg.reciprocal_no_nan(noise)           # (b, L)
+    sigma_contrib, r = gp_stats(Knm, precision, precision * y)
+    Sigma = Kmm[None] + scale * sigma_contrib             # (L, m, m)
+
+    sig_jitter = cfg.jitter
+    if cfg.sigma_rel_jitter:
+        diag_scale = jnp.max(jnp.diagonal(Sigma, axis1=-2, axis2=-1))
+        sig_jitter = sig_jitter + cfg.sigma_rel_jitter * diag_scale
+    M = jnp.concatenate([
+        linalg.add_jitter(Kmm, cfg.jitter)[None],
+        linalg.add_jitter(Sigma, sig_jitter)], axis=0)    # (L+1, m, m)
+
+    if inverse_impl == "pallas":
+        from svgpvae_tpu.ops.chol_inverse import chol_inverse
+        Minv, _ = chol_inverse(M)
+        Kmm_inv, Sigma_inv = Minv[0], Minv[1:]
+        sir = jnp.einsum("lmp,lp->lm", Sigma_inv, r)            # (L, m)
+        W = Kmm_inv @ Knm.T                                     # (m, b)
+        SigInv_Kmn = jnp.einsum("lmp,bp->lmb", Sigma_inv, Knm)  # (L, m, b)
+    else:
+        chol = jnp.linalg.cholesky(M)
+        Kmm_chol, Sigma_chol = chol[0], chol[1:]
+        sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]
+        W = linalg.cho_solve(Kmm_chol, Knm.T)                   # (m, b)
+        SigInv_Kmn = linalg.cho_solve(
+            Sigma_chol, jnp.broadcast_to(Knm.T, (L,) + Knm.T.shape))
+
+    # posterior at the batch points (shared with the Hensman block)
+    p_m = scale * jnp.einsum("bm,lm->bl", Knm, sir)       # (b, L)
+    nystrom = jnp.sum(Knm * W.T, axis=-1)                 # (b,) == diag(Q)
+    sig_quad = jnp.einsum("bm,lmb->bl", Knm, SigInv_Kmn)  # (b, L)
+    k_tilde = Knn_diag - nystrom                          # (b,)
+    p_v = k_tilde[:, None] + sig_quad                     # (b, L)
+
+    # Titsias collapsed bound (reference SVGPVAE_model.py:246-259)
+    Q = Knm @ W                                           # (b, b) Nystrom gram
+    cov = Q[None] + jax.vmap(jnp.diag)(noise.T)           # (L, b, b)
+    cov_chol = linalg.safe_cholesky(cov, cfg.jitter)
+    logdet = linalg.logdet_from_chol(cov_chol)            # (L,)
+    alpha = linalg.cho_solve(cov_chol, y.T[..., None])[..., 0]  # (L, b)
+    quad = jnp.sum(y.T * alpha, axis=-1)                  # (L,)
+    trace = jnp.sum(precision * k_tilde[:, None], axis=0)  # (L,)
+
+    log2pi = jnp.asarray(linalg.LOG_2PI, dtype)
+    l2_terms = -0.5 * (b * log2pi + logdet + quad + trace)
+
+    mu_hat = scale * jnp.einsum("mp,lp->lm", Kmm, sir)    # (L, m)
+    return p_m, p_v, l2_terms, jnp.zeros_like(l2_terms), mu_hat
+
+
+@linalg.precise
 def ball_gp_block(gp, times: Array, y: Array, noise: Array,
                   inverse_impl: str = "chol"):
     """Fused moving-ball GP block: posterior + inside-ELBO in one pass.

@@ -170,9 +170,15 @@ def forward_pass_svgpvae(
     #   "fused_rejitter" fused block with the two-pass A_hat-rejittered KL
     #                    (null-space-safe on rank-deficient kernels, e.g.
     #                    SPRITES product-linear at m=72; PARITY.md #10)
-    use_fused = (gp_block_impl != "reference"
-                 and not gp_params.config.titsias and not bias_analysis)
-    if use_fused:
+    # Titsias configs route to gp_block_titsias (no q(u) KL; the rejitter
+    # distinction does not arise there).
+    use_fused = gp_block_impl != "reference" and not bias_analysis
+    if use_fused and gp_params.config.titsias:
+        p_m, p_v, sum_terms, kl_terms, _ = gpm.gp_block_titsias(
+            gp_params, aux_data, qnet_mu, qnet_var,
+            inverse_impl="pallas" if gp_block_impl == "fused_pallas"
+            else "chol")
+    elif use_fused:
         p_m, p_v, sum_terms, kl_terms, _ = gpm.gp_block_hensman(
             gp_params, aux_data, qnet_mu, qnet_var,
             inverse_impl="pallas" if gp_block_impl == "fused_pallas"

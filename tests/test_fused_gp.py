@@ -148,6 +148,68 @@ def test_fused_block_matches_two_pass(problem, impl, monkeypatch):
                                    atol=atol, err_msg=name)
 
 
+def _titsias(gp):
+    return gp.replace(config=gp.config.replace(titsias=True))
+
+
+def _reference_titsias_block(gp, aux, y, noise):
+    p_m, p_v, mu_hat, _ = gpm.posterior_params(gp, aux, aux, y, noise)
+    l2, kl = gpm.variational_loss(gp, aux, y, noise, mu_hat, None)
+    return p_m, p_v, l2, kl, mu_hat
+
+
+@pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
+@pytest.mark.parametrize("impl", ["chol", "pallas"])
+def test_fused_titsias_block_matches_two_pass(problem, impl, monkeypatch):
+    """Fused Titsias block vs posterior_params + titsias_terms: every
+    output at tight tolerance (no KL-identity caveat — the L_T bound has
+    no q(u) KL and the covariance factorization is shared formula-for-
+    formula)."""
+    if impl == "pallas":
+        monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, aux, y, noise = problem()
+    gp = _titsias(gp)
+    want = _reference_titsias_block(gp, aux, y, noise)
+    got = gpm.gp_block_titsias(gp, aux, y, noise, inverse_impl=impl)
+    names = ["p_m", "p_v", "l2_terms", "kl_terms", "mu_hat"]
+    for name, g, w in zip(names, got, want):
+        w = np.asarray(w)
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                   atol=5e-4, err_msg=name)
+
+
+def test_fused_titsias_gradients_match_two_pass():
+    """Gradients of the Titsias training objective (inside-ELBO + the
+    posterior-consuming CE-like terms) w.r.t. GP params and encoder
+    outputs match the two-pass path."""
+    gp, aux, y, noise = _mnist_problem()
+    gp = _titsias(gp)
+
+    def objective(pieces):
+        p_m, p_v, l2, kl, _ = pieces
+        return (jnp.sum(l2) - jnp.sum(kl)
+                + jnp.sum(p_m ** 2) + jnp.sum(jnp.log(p_v)))
+
+    def loss_ref(gp, y, noise):
+        return objective(_reference_titsias_block(gp, aux, y, noise))
+
+    def loss_fused(gp, y, noise):
+        return objective(gpm.gp_block_titsias(gp, aux, y, noise))
+
+    np.testing.assert_allclose(float(loss_fused(gp, y, noise)),
+                               float(loss_ref(gp, y, noise)), rtol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(gp, y, noise)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(gp, y, noise)
+    leaves_r, _ = jax.tree_util.tree_flatten(g_ref)
+    leaves_f, _ = jax.tree_util.tree_flatten(g_fus)
+    assert len(leaves_r) == len(leaves_f)
+    for lr, lf in zip(leaves_r, leaves_f):
+        lr, lf = np.asarray(lr), np.asarray(lf)
+        scale = max(np.abs(lr).max(), 1e-3)
+        np.testing.assert_allclose(lf / scale, lr / scale, atol=5e-4)
+
+
 @pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
 def test_fused_rejitter_matches_two_pass(problem):
     """kl_impl='rejitter' computes the EXACT two-pass KL (A_hat

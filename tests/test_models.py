@@ -65,6 +65,24 @@ def test_svgpvae_forward_fused_rejitter_matches_reference():
                                    err_msg=field)
 
 
+def test_svgpvae_forward_titsias_fused_matches_reference():
+    """Titsias configs route gp_block_impl='fused[_*]' to the fused
+    Titsias block; every forward output must match the two-pass impl."""
+    vae, vae_params, gp, images, aux = _mnist_setup(titsias=True)
+    outs = {}
+    for impl in ("reference", "fused"):
+        outs[impl] = models.forward_pass_svgpvae(
+            vae, vae_params, gp, (images, aux), KEY, beta=0.001,
+            C_ma=0.0, lagrange_mult=1.0, alpha=0.99, kappa=np.sqrt(0.02),
+            geco=False, gp_block_impl=impl)
+    for field in outs["reference"]._fields:
+        w = np.asarray(getattr(outs["reference"], field))
+        g = np.asarray(getattr(outs["fused"], field))
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(g / scale, w / scale, atol=5e-4,
+                                   err_msg=field)
+
+
 def test_svgpvae_plain_objective_identity():
     vae, vae_params, gp, images, aux = _mnist_setup()
     out = models.forward_pass_svgpvae(

@@ -361,6 +361,30 @@ def wave9():
     ]
 
 
+def wave10():
+    """Fused Titsias GP block head-to-head (quality + chunked step time
+    at 1000 epochs, the canonical Titsias budget) and a full bench
+    refresh under the shipped defaults (updates BENCH_LAST_GOOD)."""
+    py = sys.executable
+
+    def titsias_job(expid, impl):
+        return (expid,
+                [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                 "SVGPVAE_Titsias", "--PCA", "--ip_joint", "--GP_joint",
+                 "--ov_joint", "--clip_qs", "--mnist_data_path", MNIST,
+                 "--opt_regime", "joint-1000", "--eval_every", "200",
+                 "--epoch_chunk", "50", "--base_dir", "/tmp/mnist_tpu",
+                 "--expid", expid, "--gp_block_impl", impl],
+                1800, {})
+
+    return [
+        titsias_job("titsias_ref_1k", "reference"),
+        titsias_job("titsias_fused_1k", "fused"),
+        titsias_job("titsias_fusedpallas_1k", "fused_pallas"),
+        ("bench_full", [py, os.path.join(ROOT, "bench.py")], 2400, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -369,7 +393,8 @@ def main():
     args = p.parse_args()
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
-            6: wave6, 7: wave7, 8: wave8, 9: wave9}[args.wave]()
+            6: wave6, 7: wave7, 8: wave8, 9: wave9,
+            10: wave10}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
