@@ -17,7 +17,7 @@ from svgpvae_tpu.gp.svgp import (  # noqa: F401
     posterior_from_precomputed,
 )
 from svgpvae_tpu.gp.fused import (gp_block_hensman, gp_block_titsias,  # noqa: F401
-                                  ball_gp_block)
+                                  ball_gp_block, ball_gp_block_titsias)
 from svgpvae_tpu.gp.exact import gp_regression_1d  # noqa: F401
 from svgpvae_tpu.gp.casale import (  # noqa: F401
     CasaleGP,

@@ -259,6 +259,99 @@ def gp_block_titsias(gp, aux: Array, y: Array, noise: Array,
 
 
 @linalg.precise
+def ball_gp_block_titsias(gp, times: Array, y: Array, noise: Array,
+                          inverse_impl: str = "chol"):
+    """Fused moving-ball Titsias block: posterior + L_T bound in one pass.
+
+    The two-pass path (ball_posterior_params + ball_variational_loss
+    Titsias branch, gp/svgp.py) assembles the per-channel kernel
+    matrices twice, factorizes Kmm twice, and computes the per-video
+    q(u) moments mu_hat/A_hat (one (m, m) solve + matmuls per video per
+    channel) that the collapsed bound never reads.  Here: one assembly,
+    one batched (C*(V+1), m, m) factorization of [Kmm_c; Sigma_c1..cV]
+    for the posterior, one W solve feeding diag(Q), Q, and k_tilde, and
+    the inherent (C*V, T, T) covariance Cholesky of Q + diag(noise_v)
+    batched across channels and videos (reference Titsias branch:
+    SVGPVAE_model.py:100-118).
+
+    times: (T,); y/noise: (V, T, C).  Returns (p_m (V, T, C),
+    p_v (V, T, C), l2_terms (V, C), kl_terms == zeros (V, C),
+    gp_cov_mean (T, T, C)).  Equivalence with the two-pass path is
+    pinned by tests/test_fused_gp.py.
+    """
+    cfg = gp.config
+    V, T, C = y.shape
+    dtype = y.dtype
+    m = gp.inducing_points.shape[-1]
+
+    def channel_mats(ip, ls):
+        k = lambda a, b: kernels.rbf_matrix(a[:, None], b[:, None], ls)
+        return k(ip, ip), k(times, ip), k(times, times)
+
+    Kmm, Knm, Knn = jax.vmap(channel_mats)(gp.inducing_points,
+                                           gp.length_scale)
+    # Kmm (C, m, m), Knm (C, T, m), Knn (C, T, T)
+
+    yc = jnp.moveaxis(y, -1, 0)                           # (C, V, T)
+    nc = jnp.moveaxis(noise, -1, 0)
+    prec = linalg.reciprocal_no_nan(nc)
+
+    Sigma = Kmm[:, None] + jnp.einsum("ctm,cvt,ctp->cvmp",
+                                      Knm, prec, Knm)     # (C, V, m, m)
+    r = jnp.einsum("ctm,cvt->cvm", Knm, prec * yc)        # (C, V, m)
+
+    M = jnp.concatenate([
+        linalg.add_jitter(Kmm, cfg.jitter)[:, None],
+        linalg.add_jitter(Sigma, cfg.jitter)], axis=1)    # (C, V+1, m, m)
+    flat = M.reshape(C * (V + 1), m, m)
+
+    KnmT = jnp.swapaxes(Knm, -1, -2)                      # (C, m, T)
+    if inverse_impl == "pallas":
+        from svgpvae_tpu.ops.chol_inverse import chol_inverse
+        Minv, _ = chol_inverse(flat)
+        Minv = Minv.reshape(C, V + 1, m, m)
+        Kmm_inv, Sigma_inv = Minv[:, 0], Minv[:, 1:]
+        sir = jnp.einsum("cvmp,cvp->cvm", Sigma_inv, r)
+        W = Kmm_inv @ KnmT                                # (C, m, T)
+        SigInv_Kmn = jnp.einsum("cvmp,ctp->cvmt", Sigma_inv, Knm)
+    else:
+        chol = jnp.linalg.cholesky(flat).reshape(C, V + 1, m, m)
+        Kmm_chol, Sigma_chol = chol[:, 0], chol[:, 1:]
+        sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]
+        W = linalg.cho_solve(Kmm_chol, KnmT)
+        SigInv_Kmn = linalg.cho_solve(
+            Sigma_chol, jnp.broadcast_to(KnmT[:, None], (C, V, m, T)))
+
+    p_m = jnp.einsum("ctm,cvm->cvt", Knm, sir)            # (C, V, T)
+    nystrom = jnp.einsum("ctm,cmt->ct", Knm, W)           # (C, T) == diag(Q)
+    sig_quad = jnp.einsum("ctm,cvmt->cvt", Knm, SigInv_Kmn)
+    k_tilde = 1.0 - nystrom  # RBF(amplitude=None) diag == 1
+    p_v = k_tilde[:, None] + sig_quad                     # (C, V, T)
+
+    # Titsias collapsed bound, batched over channels AND videos
+    Q = jnp.einsum("ctm,cms->cts", Knm, W)                # (C, T, T)
+    cov = Q[:, None] + jax.vmap(jax.vmap(jnp.diag))(nc)   # (C, V, T, T)
+    cov_chol = linalg.safe_cholesky(
+        cov.reshape(C * V, T, T), cfg.jitter).reshape(C, V, T, T)
+    logdet = linalg.logdet_from_chol(cov_chol)            # (C, V)
+    alpha = linalg.cho_solve(cov_chol, yc[..., None])[..., 0]  # (C, V, T)
+    quad = jnp.sum(yc * alpha, axis=-1)                   # (C, V)
+    trace = jnp.einsum("cvt,ct->cv", prec, k_tilde)       # (C, V)
+
+    log2pi = jnp.asarray(linalg.LOG_2PI, dtype)
+    l2_terms = -0.5 * (T * log2pi + logdet + quad + trace)
+
+    gp_cov_mean = (Knn
+                   - jnp.einsum("ctm,cms->cts", Knm, W)
+                   + jnp.einsum("ctm,cms->cts", Knm,
+                                jnp.mean(SigInv_Kmn, axis=1)))
+
+    return (jnp.moveaxis(p_m, 0, -1), jnp.moveaxis(p_v, 0, -1),
+            l2_terms.T, jnp.zeros_like(l2_terms).T,
+            jnp.moveaxis(gp_cov_mean, 0, -1))
+
+
+@linalg.precise
 def ball_gp_block(gp, times: Array, y: Array, noise: Array,
                   inverse_impl: str = "chol"):
     """Fused moving-ball GP block: posterior + inside-ELBO in one pass.

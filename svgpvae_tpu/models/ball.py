@@ -15,7 +15,7 @@ from jax import Array
 
 from svgpvae_tpu import linalg
 from svgpvae_tpu.gp.exact import gp_regression_1d
-from svgpvae_tpu.gp.fused import ball_gp_block
+from svgpvae_tpu.gp.fused import ball_gp_block, ball_gp_block_titsias
 from svgpvae_tpu.gp.svgp import (BallSVGP, ball_posterior_params,
                                  ball_variational_loss)
 
@@ -85,9 +85,9 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
     SVGPVAE_model.py:638-715).  Times run 1..T.
 
     gp_block_impl: "reference" (two-pass, mirroring the reference call
-    structure) | "fused" (one-pass XLA, gp/fused.py ball_gp_block) |
-    "fused_pallas" (fused with the Pallas inverse megakernel).  The
-    fused paths apply to the Hensman family only (Titsias falls back)."""
+    structure) | "fused" (one-pass XLA, gp/fused.py ball_gp_block /
+    ball_gp_block_titsias by config.titsias) | "fused_pallas" (fused
+    with the Pallas inverse megakernel)."""
     assert gp_block_impl in ("reference", "fused", "fused_pallas"), \
         gp_block_impl  # "auto" must be resolved by the caller
     batch, tmax = vids.shape[0], vids.shape[1]
@@ -98,9 +98,11 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
     if clip_qs:
         qnet_var = jnp.clip(qnet_var, *BALL_QVAR_CLIP)
 
-    use_fused = gp_block_impl != "reference" and not gp.config.titsias
+    use_fused = gp_block_impl != "reference"
     if use_fused:
-        p_m, p_v, sum_terms, kl_terms, gp_cov_mean = ball_gp_block(
+        block = (ball_gp_block_titsias if gp.config.titsias
+                 else ball_gp_block)
+        p_m, p_v, sum_terms, kl_terms, gp_cov_mean = block(
             gp, times, qnet_mu, qnet_var,
             inverse_impl="pallas" if gp_block_impl == "fused_pallas"
             else "chol")

@@ -424,6 +424,83 @@ def test_ball_fused_block_gradients_match_two_pass(impl, monkeypatch):
         np.testing.assert_allclose(lf / scale, lr / scale, atol=5e-4)
 
 
+@pytest.mark.parametrize("impl", ["chol", "pallas"])
+def test_ball_fused_titsias_block_matches_two_pass(impl, monkeypatch):
+    """ball_gp_block_titsias vs the two-pass Titsias path: every output
+    at tight tolerance (the collapsed L_T bound has no q(u) KL, so no
+    identity-KL caveat arises)."""
+    if impl == "pallas":
+        monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, times, y, noise = _ball_problem()
+    gp = gp.replace(config=gp.config.replace(titsias=True))
+    want = _ball_reference_block(gp, times, y, noise)
+    got = gpm.ball_gp_block_titsias(gp, times, y, noise, inverse_impl=impl)
+    names = ["p_m", "p_v", "l2_terms", "kl_terms", "gp_cov_mean"]
+    for name, g, w in zip(names, got, want):
+        w = np.asarray(w)
+        assert np.asarray(g).shape == w.shape, name
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                   atol=2e-4, err_msg=name)
+
+
+def test_ball_fused_titsias_gradients_match_two_pass():
+    gp, times, y, noise = _ball_problem()
+    gp = gp.replace(config=gp.config.replace(titsias=True))
+
+    def objective(pieces):
+        p_m, p_v, l2, kl, _ = pieces
+        return (jnp.sum(l2) - jnp.sum(kl)
+                + jnp.sum(p_m ** 2) + jnp.sum(jnp.log(p_v)))
+
+    def loss_ref(gp, y, noise):
+        return objective(_ball_reference_block(gp, times, y, noise))
+
+    def loss_fused(gp, y, noise):
+        return objective(gpm.ball_gp_block_titsias(gp, times, y, noise))
+
+    np.testing.assert_allclose(float(loss_fused(gp, y, noise)),
+                               float(loss_ref(gp, y, noise)), rtol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(gp, y, noise)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(gp, y, noise)
+    leaves_r, _ = jax.tree_util.tree_flatten(g_ref)
+    leaves_f, _ = jax.tree_util.tree_flatten(g_fus)
+    assert len(leaves_r) == len(leaves_f)
+    for lr, lf in zip(leaves_r, leaves_f):
+        lr, lf = np.asarray(lr), np.asarray(lf)
+        scale = max(np.abs(lr).max(), 1e-3)
+        np.testing.assert_allclose(lf / scale, lr / scale, atol=5e-4)
+
+
+def test_ball_elbo_fused_titsias_matches_reference_impl():
+    """End-to-end ball_svgpvae_elbo (Titsias config) with
+    gp_block_impl='fused' matches the reference impl on every output."""
+    from svgpvae_tpu import models, nn as nets
+    R = np.random.RandomState(29)
+    batch, tmax, px = 4, 8, 16
+    vids = jnp.asarray(R.rand(batch, tmax, px, px), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    encoder = nets.BallEncoder()
+    decoder = nets.BallDecoder(px=px, py=px)
+    enc_params = encoder.init(key, vids)
+    dec_params = decoder.init(key, jnp.zeros((batch, tmax, 2)))
+    gp = gpm.init_ball_svgp(5, tmin=1.0, tmax=float(tmax),
+                            length_scale_init=2.0)
+    gp = gp.replace(config=SVGPConfig(jitter=1e-8, titsias=True))
+
+    outs = {}
+    for impl in ("reference", "fused"):
+        outs[impl] = models.ball_svgpvae_elbo(
+            encoder, enc_params, decoder, dec_params, gp, vids, 1.0, key,
+            clip_qs=True, gp_block_impl=impl)
+    for field in outs["reference"]._fields:
+        w = np.asarray(getattr(outs["reference"], field))
+        g = np.asarray(getattr(outs["fused"], field))
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(g / scale, w / scale, atol=5e-4,
+                                   err_msg=field)
+
+
 def test_ball_elbo_fused_matches_reference_impl():
     """End-to-end ball_svgpvae_elbo with gp_block_impl='fused' matches the
     reference impl on every output the training loop and metrics read."""
