@@ -385,6 +385,26 @@ def wave10():
     ]
 
 
+def wave11():
+    """Ball Titsias fused head-to-head: 25k-step quality + step time per
+    impl (mirrors the round-3 Hensman ball table in RESULTS.md)."""
+    py = sys.executable
+
+    def ball_job(expid, impl):
+        return (expid,
+                [py, "-m", "svgpvae_tpu.cli.ball", "--elbo",
+                 "SVGPVAE_Titsias", "--clip_qs", "--steps", "25000",
+                 "--eval_every", "5000", "--base_dir", "/tmp/ball_tpu",
+                 "--expid", expid, "--gp_block_impl", impl],
+                1500, {})
+
+    return [
+        ball_job("ball_tit_ref", "reference"),
+        ball_job("ball_tit_fused", "fused"),
+        ball_job("ball_tit_pallas", "fused_pallas"),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -394,7 +414,7 @@ def main():
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
-            10: wave10}[args.wave]()
+            10: wave10, 11: wave11}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
