@@ -179,19 +179,36 @@ def gp_block_titsias(gp, aux: Array, y: Array, noise: Array,
     The two-pass path (posterior_params + titsias_terms, gp/svgp.py)
     assembles Kmm/Knm and factorizes Kmm twice, computes the q(u)
     moments mu_hat/A_hat that the Titsias bound never reads (one
-    (L, m, m) solve + two matmuls wasted), and solves W = Kmm^{-1} Kmn
-    twice (posterior Nystrom + the Q gram).  Here everything is shared:
-    one assembly, one [Kmm; Sigma_1..L] factorization for the posterior,
-    one W solve feeding both diag(Q) == nystrom and Q itself, and
-    k_tilde = Knn_diag - nystrom feeding both p_v and the L_T trace
-    term (reference trace: sum_i prec_il (Knn_ii - Q_ii),
-    SVGPVAE_model.py:246-259).  The (L, b, b) covariance Cholesky of
-    Q + diag(noise_l) is inherent to the bound and stays.
+    (L, m, m) solve + two matmuls wasted), solves W = Kmm^{-1} Kmn
+    twice (posterior Nystrom + the Q gram), and — dominating everything
+    at training shapes — factorizes the dense (L, b, b) covariance
+    Q + diag(noise_l) of the collapsed bound (reference:
+    mainSVGP.variational_loss Titsias branch, SVGPVAE_model.py:246-259),
+    an O(L b^3) Cholesky.
 
-    inverse_impl="pallas" routes the (L+1, m, m) posterior stack through
-    the Pallas inverse megakernel; the (L, b, b) covariance keeps
-    Cholesky solves regardless (its spectrum is data-dependent and the
-    explicit-inverse error scales with cond(cov)).
+    Here the bound is evaluated through the matrix determinant lemma /
+    Woodbury instead: with D'_l = diag(noise_l + jitter) (the dense path
+    jitters cov, safe_cholesky) and Q = Knm Kmm_j^{-1} Kmn,
+
+        logdet(Q + D'_l) = sum_i log noise'_il
+                           + logdet(Kmm_j + Kmn D'_l^{-1} Knm)
+                           - logdet Kmm_j
+        y^T (Q + D'_l)^{-1} y = y^T D'^{-1} y - r'^T Sigma1_l^{-1} r'
+            with  Sigma1_l = Kmm_j + Kmn D'^{-1} Knm,
+                  r'_l = Kmn (D'^{-1} y)
+
+    so the whole bound closes over one extra batched (L, m, m)
+    factorization — O(L (b m^2 + m^3)) total, never O(b^3) — appended to
+    the same [Kmm_j; Sigma_1..L; Sigma1_1..L] stack as the posterior.
+    Sigma1 gets the same absolute + max-diag-relative ridge policy as
+    Sigma (_sigma_cholesky): an O(rel_jitter) perturbation of the bound,
+    below f32 noise (the float64 parity test pins it to the dense form).
+    This also removes the dense path's f32 failure surface: cond(cov) =
+    lambda_max(Q + D)/min(noise) is unbounded as the encoder sharpens,
+    while Sigma1's Cholesky is ridge-protected like Sigma's.
+
+    inverse_impl="pallas" routes the whole (2L+1, m, m) stack through
+    the Pallas inverse megakernel.
 
     aux: (b, D); y/noise: (b, L).  Returns (p_m (b, L), p_v (b, L),
     l2_terms (L,), kl_terms == zeros (L,), mu_hat (L, m)).  Equivalent
@@ -212,28 +229,47 @@ def gp_block_titsias(gp, aux: Array, y: Array, noise: Array,
     sigma_contrib, r = gp_stats(Knm, precision, precision * y)
     Sigma = Kmm[None] + scale * sigma_contrib             # (L, m, m)
 
+    # bound-side sufficient statistics use the jittered noise (the dense
+    # path's safe_cholesky(cov, jitter) == D' = diag(noise + jitter))
+    noise_b = noise + cfg.jitter
+    prec_b = linalg.reciprocal_no_nan(noise_b)            # (b, L)
+    contrib_b, r_b = gp_stats(Knm, prec_b, prec_b * y)
+    Kmm_j = linalg.add_jitter(Kmm, cfg.jitter)
+    Sigma1 = Kmm_j[None] + contrib_b                      # (L, m, m)
+
     sig_jitter = cfg.jitter
+    sig1_jitter = 0.0
     if cfg.sigma_rel_jitter:
         diag_scale = jnp.max(jnp.diagonal(Sigma, axis1=-2, axis2=-1))
         sig_jitter = sig_jitter + cfg.sigma_rel_jitter * diag_scale
+        diag_scale1 = jnp.max(jnp.diagonal(Sigma1, axis1=-2, axis2=-1))
+        sig1_jitter = cfg.sigma_rel_jitter * diag_scale1
     M = jnp.concatenate([
-        linalg.add_jitter(Kmm, cfg.jitter)[None],
-        linalg.add_jitter(Sigma, sig_jitter)], axis=0)    # (L+1, m, m)
+        Kmm_j[None],
+        linalg.add_jitter(Sigma, sig_jitter),
+        linalg.add_jitter(Sigma1, sig1_jitter)], axis=0)  # (2L+1, m, m)
 
     if inverse_impl == "pallas":
         from svgpvae_tpu.ops.chol_inverse import chol_inverse
-        Minv, _ = chol_inverse(M)
-        Kmm_inv, Sigma_inv = Minv[0], Minv[1:]
+        Minv, logdets = chol_inverse(M)
+        Kmm_inv, Sigma_inv = Minv[0], Minv[1:L + 1]
+        Sigma1_inv = Minv[L + 1:]
+        logdet_K, logdet_S1 = logdets[0], logdets[L + 1:]
         sir = jnp.einsum("lmp,lp->lm", Sigma_inv, r)            # (L, m)
         W = Kmm_inv @ Knm.T                                     # (m, b)
         SigInv_Kmn = jnp.einsum("lmp,bp->lmb", Sigma_inv, Knm)  # (L, m, b)
+        s1ir = jnp.einsum("lmp,lp->lm", Sigma1_inv, r_b)        # (L, m)
     else:
         chol = jnp.linalg.cholesky(M)
-        Kmm_chol, Sigma_chol = chol[0], chol[1:]
+        Kmm_chol, Sigma_chol = chol[0], chol[1:L + 1]
+        Sigma1_chol = chol[L + 1:]
+        logdet_K = linalg.logdet_from_chol(Kmm_chol)
+        logdet_S1 = linalg.logdet_from_chol(Sigma1_chol)
         sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]
         W = linalg.cho_solve(Kmm_chol, Knm.T)                   # (m, b)
         SigInv_Kmn = linalg.cho_solve(
             Sigma_chol, jnp.broadcast_to(Knm.T, (L,) + Knm.T.shape))
+        s1ir = linalg.cho_solve(Sigma1_chol, r_b[..., None])[..., 0]
 
     # posterior at the batch points (shared with the Hensman block)
     p_m = scale * jnp.einsum("bm,lm->bl", Knm, sir)       # (b, L)
@@ -242,14 +278,15 @@ def gp_block_titsias(gp, aux: Array, y: Array, noise: Array,
     k_tilde = Knn_diag - nystrom                          # (b,)
     p_v = k_tilde[:, None] + sig_quad                     # (b, L)
 
-    # Titsias collapsed bound (reference SVGPVAE_model.py:246-259)
-    Q = Knm @ W                                           # (b, b) Nystrom gram
-    cov = Q[None] + jax.vmap(jnp.diag)(noise.T)           # (L, b, b)
-    cov_chol = linalg.safe_cholesky(cov, cfg.jitter)
-    logdet = linalg.logdet_from_chol(cov_chol)            # (L,)
-    alpha = linalg.cho_solve(cov_chol, y.T[..., None])[..., 0]  # (L, b)
-    quad = jnp.sum(y.T * alpha, axis=-1)                  # (L,)
-    trace = jnp.sum(precision * k_tilde[:, None], axis=0)  # (L,)
+    # Titsias collapsed bound via the determinant lemma (docstring)
+    logdet = (jnp.sum(jnp.log(noise_b), axis=0)
+              + logdet_S1 - logdet_K)                     # (L,)
+    quad = (jnp.sum(prec_b * y * y, axis=0)
+            - jnp.sum(r_b * s1ir, axis=-1))               # (L,)
+    # floored Nystrom residual (see titsias_terms, PARITY #11): negative
+    # f32 residuals are an unbounded false reward of the collapsed bound
+    trace = jnp.sum(precision * jnp.maximum(k_tilde, 0.0)[:, None],
+                    axis=0)                               # (L,)
 
     log2pi = jnp.asarray(linalg.LOG_2PI, dtype)
     l2_terms = -0.5 * (b * log2pi + logdet + quad + trace)
@@ -265,14 +302,18 @@ def ball_gp_block_titsias(gp, times: Array, y: Array, noise: Array,
 
     The two-pass path (ball_posterior_params + ball_variational_loss
     Titsias branch, gp/svgp.py) assembles the per-channel kernel
-    matrices twice, factorizes Kmm twice, and computes the per-video
+    matrices twice, factorizes Kmm twice, computes the per-video
     q(u) moments mu_hat/A_hat (one (m, m) solve + matmuls per video per
-    channel) that the collapsed bound never reads.  Here: one assembly,
-    one batched (C*(V+1), m, m) factorization of [Kmm_c; Sigma_c1..cV]
-    for the posterior, one W solve feeding diag(Q), Q, and k_tilde, and
-    the inherent (C*V, T, T) covariance Cholesky of Q + diag(noise_v)
-    batched across channels and videos (reference Titsias branch:
-    SVGPVAE_model.py:100-118).
+    channel) that the collapsed bound never reads, and factorizes the
+    dense (C*V, T, T) covariance Q + diag(noise_v) of the collapsed
+    bound (reference Titsias branch: SVGPVAE_model.py:100-118).  Here:
+    one assembly, one batched (C*(2V+1), m, m) factorization of
+    [Kmm_c; Sigma_c1..cV; Sigma1_c1..cV], one W solve feeding diag(Q)
+    and k_tilde — and the dense covariance never exists: the bound's
+    logdet/quad close over the Sigma1 factorization via the matrix
+    determinant lemma / Woodbury exactly as in `gp_block_titsias`
+    (see its docstring for the identities; here D' = diag(noise_v +
+    jitter) mirrors the dense path's safe_cholesky(cov, jitter)).
 
     times: (T,); y/noise: (V, T, C).  Returns (p_m (V, T, C),
     p_v (V, T, C), l2_terms (V, C), kl_terms == zeros (V, C),
@@ -300,27 +341,45 @@ def ball_gp_block_titsias(gp, times: Array, y: Array, noise: Array,
                                       Knm, prec, Knm)     # (C, V, m, m)
     r = jnp.einsum("ctm,cvt->cvm", Knm, prec * yc)        # (C, V, m)
 
+    # bound-side statistics at the jittered noise (== the dense path's
+    # safe_cholesky(cov, jitter))
+    nc_b = nc + cfg.jitter
+    prec_b = linalg.reciprocal_no_nan(nc_b)
+    Kmm_j = linalg.add_jitter(Kmm, cfg.jitter)
+    Sigma1 = Kmm_j[:, None] + jnp.einsum("ctm,cvt,ctp->cvmp",
+                                         Knm, prec_b, Knm)  # (C, V, m, m)
+    r_b = jnp.einsum("ctm,cvt->cvm", Knm, prec_b * yc)    # (C, V, m)
+
     M = jnp.concatenate([
-        linalg.add_jitter(Kmm, cfg.jitter)[:, None],
-        linalg.add_jitter(Sigma, cfg.jitter)], axis=1)    # (C, V+1, m, m)
-    flat = M.reshape(C * (V + 1), m, m)
+        Kmm_j[:, None],
+        linalg.add_jitter(Sigma, cfg.jitter),
+        Sigma1], axis=1)                                  # (C, 2V+1, m, m)
+    flat = M.reshape(C * (2 * V + 1), m, m)
 
     KnmT = jnp.swapaxes(Knm, -1, -2)                      # (C, m, T)
     if inverse_impl == "pallas":
         from svgpvae_tpu.ops.chol_inverse import chol_inverse
-        Minv, _ = chol_inverse(flat)
-        Minv = Minv.reshape(C, V + 1, m, m)
-        Kmm_inv, Sigma_inv = Minv[:, 0], Minv[:, 1:]
+        Minv, lds = chol_inverse(flat)
+        Minv = Minv.reshape(C, 2 * V + 1, m, m)
+        lds = lds.reshape(C, 2 * V + 1)
+        Kmm_inv, Sigma_inv = Minv[:, 0], Minv[:, 1:V + 1]
+        Sigma1_inv = Minv[:, V + 1:]
+        logdet_K, logdet_S1 = lds[:, 0], lds[:, V + 1:]
         sir = jnp.einsum("cvmp,cvp->cvm", Sigma_inv, r)
         W = Kmm_inv @ KnmT                                # (C, m, T)
         SigInv_Kmn = jnp.einsum("cvmp,ctp->cvmt", Sigma_inv, Knm)
+        s1ir = jnp.einsum("cvmp,cvp->cvm", Sigma1_inv, r_b)
     else:
-        chol = jnp.linalg.cholesky(flat).reshape(C, V + 1, m, m)
-        Kmm_chol, Sigma_chol = chol[:, 0], chol[:, 1:]
+        chol = jnp.linalg.cholesky(flat).reshape(C, 2 * V + 1, m, m)
+        Kmm_chol, Sigma_chol = chol[:, 0], chol[:, 1:V + 1]
+        Sigma1_chol = chol[:, V + 1:]
+        logdet_K = linalg.logdet_from_chol(Kmm_chol)      # (C,)
+        logdet_S1 = linalg.logdet_from_chol(Sigma1_chol)  # (C, V)
         sir = linalg.cho_solve(Sigma_chol, r[..., None])[..., 0]
         W = linalg.cho_solve(Kmm_chol, KnmT)
         SigInv_Kmn = linalg.cho_solve(
             Sigma_chol, jnp.broadcast_to(KnmT[:, None], (C, V, m, T)))
+        s1ir = linalg.cho_solve(Sigma1_chol, r_b[..., None])[..., 0]
 
     p_m = jnp.einsum("ctm,cvm->cvt", Knm, sir)            # (C, V, T)
     nystrom = jnp.einsum("ctm,cmt->ct", Knm, W)           # (C, T) == diag(Q)
@@ -328,15 +387,15 @@ def ball_gp_block_titsias(gp, times: Array, y: Array, noise: Array,
     k_tilde = 1.0 - nystrom  # RBF(amplitude=None) diag == 1
     p_v = k_tilde[:, None] + sig_quad                     # (C, V, T)
 
-    # Titsias collapsed bound, batched over channels AND videos
-    Q = jnp.einsum("ctm,cms->cts", Knm, W)                # (C, T, T)
-    cov = Q[:, None] + jax.vmap(jax.vmap(jnp.diag))(nc)   # (C, V, T, T)
-    cov_chol = linalg.safe_cholesky(
-        cov.reshape(C * V, T, T), cfg.jitter).reshape(C, V, T, T)
-    logdet = linalg.logdet_from_chol(cov_chol)            # (C, V)
-    alpha = linalg.cho_solve(cov_chol, yc[..., None])[..., 0]  # (C, V, T)
-    quad = jnp.sum(yc * alpha, axis=-1)                   # (C, V)
-    trace = jnp.einsum("cvt,ct->cv", prec, k_tilde)       # (C, V)
+    # Titsias collapsed bound via the determinant lemma, batched over
+    # channels AND videos — no (T, T) covariance is ever materialized
+    logdet = (jnp.sum(jnp.log(nc_b), axis=-1)
+              + logdet_S1 - logdet_K[:, None])            # (C, V)
+    quad = (jnp.sum(prec_b * yc * yc, axis=-1)
+            - jnp.sum(r_b * s1ir, axis=-1))               # (C, V)
+    # floored Nystrom residual (see titsias_terms, PARITY #11)
+    trace = jnp.einsum("cvt,ct->cv", prec,
+                       jnp.maximum(k_tilde, 0.0))         # (C, V)
 
     log2pi = jnp.asarray(linalg.LOG_2PI, dtype)
     l2_terms = -0.5 * (T * log2pi + logdet + quad + trace)

@@ -418,7 +418,15 @@ def titsias_terms(gp, Kmm_chol: Array, Knm: Array, Knn_diag: Array,
     alpha = linalg.cho_solve(cov_chol, y.T[..., None])[..., 0]  # (L, b)
     quad = jnp.sum(y.T * alpha, axis=-1)  # (L,)
 
-    trace = jnp.sum(precision * (Knn_diag - jnp.diagonal(Q))[:, None], axis=0)
+    # Nystrom residual floored at its mathematical bound 0: in f32 a
+    # near-singular Kmm makes diag(Q) overshoot Knn_diag, and with the
+    # encoder variances at their clip floor the resulting NEGATIVE trace
+    # rewards driving the kernel singular — an unbounded false ascent
+    # direction of the collapsed bound (no q(u) KL opposes it; measured:
+    # ELBO -> +1.5e16 by epoch 100, tools/debug_titsias.py, PARITY #11).
+    trace = jnp.sum(
+        precision * jnp.maximum(Knn_diag - jnp.diagonal(Q), 0.0)[:, None],
+        axis=0)
 
     log2pi = jnp.asarray(linalg.LOG_2PI, dtype)
     l2 = -0.5 * (b * log2pi + logdet + quad + trace)
@@ -622,7 +630,10 @@ def ball_variational_loss(gp: BallSVGP, times: Array, y: Array, noise: Array,
                 logdet = linalg.logdet_from_chol(cov_chol)
                 alpha = linalg.cho_solve(cov_chol, y_v[:, None])[:, 0]
                 quad = jnp.sum(y_v * alpha)
-                trace = jnp.sum(prec * k_tilde)
+                # floor at the mathematical bound 0 (see titsias_terms /
+                # PARITY #11): negative f32 Nystrom residuals are an
+                # unbounded false reward of the collapsed bound
+                trace = jnp.sum(prec * jnp.maximum(k_tilde, 0.0))
                 l2 = -0.5 * (T * log2pi + logdet + quad + trace)
                 return l2, jnp.zeros_like(l2)
 

@@ -161,10 +161,14 @@ def _reference_titsias_block(gp, aux, y, noise):
 @pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
 @pytest.mark.parametrize("impl", ["chol", "pallas"])
 def test_fused_titsias_block_matches_two_pass(problem, impl, monkeypatch):
-    """Fused Titsias block vs posterior_params + titsias_terms: every
-    output at tight tolerance (no KL-identity caveat — the L_T bound has
-    no q(u) KL and the covariance factorization is shared formula-for-
-    formula)."""
+    """Fused Titsias block vs posterior_params + titsias_terms.
+
+    The fused bound goes through the matrix determinant lemma (no dense
+    (b, b) covariance); the identity is exact (float64 test below), but
+    the Sigma1 stack carries the same max-diag-relative ridge as Sigma
+    (_sigma_cholesky), an O(rel_jitter * tr(Sigma1^{-1})) perturbation
+    of l2 — ~8e-4 scaled on the near-rank-deficient sprites kernel, so
+    l2_terms gets a slightly looser band there."""
     if impl == "pallas":
         monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
     gp, aux, y, noise = problem()
@@ -175,14 +179,41 @@ def test_fused_titsias_block_matches_two_pass(problem, impl, monkeypatch):
     for name, g, w in zip(names, got, want):
         w = np.asarray(w)
         scale = max(np.abs(w).max(), 1.0)
+        atol = 2e-3 if name == "l2_terms" else 5e-4
         np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
-                                   atol=5e-4, err_msg=name)
+                                   atol=atol, err_msg=name)
+
+
+@pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
+def test_fused_titsias_woodbury_identity_exact_f64(problem):
+    """With the relative ridge off, the determinant-lemma bound equals
+    the dense-covariance bound to float64 roundoff — pinning that the
+    ONLY semantic gap of the fused Titsias block is the documented
+    Sigma1 ridge."""
+    gp, aux, y, noise = problem()
+    gp = _titsias(gp)
+    gp = gp.replace(config=gp.config.replace(sigma_rel_jitter=0.0))
+    f64 = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, t)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        gp64, aux64 = f64(gp), f64(aux)
+        y64, n64 = f64(y), f64(noise)
+        want = _reference_titsias_block(gp64, aux64, y64, n64)[2]
+        got = gpm.gp_block_titsias(gp64, aux64, y64, n64)[2]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_fused_titsias_gradients_match_two_pass():
     """Gradients of the Titsias training objective (inside-ELBO + the
     posterior-consuming CE-like terms) w.r.t. GP params and encoder
-    outputs match the two-pass path."""
+    outputs match the two-pass path.  Band 1e-3: the fused bound's
+    Sigma1 relative ridge (see test_fused_titsias_block_matches_two_pass)
+    perturbs l2 gradients by the same O(rel_jitter) amount as l2."""
     gp, aux, y, noise = _mnist_problem()
     gp = _titsias(gp)
 
@@ -207,7 +238,7 @@ def test_fused_titsias_gradients_match_two_pass():
     for lr, lf in zip(leaves_r, leaves_f):
         lr, lf = np.asarray(lr), np.asarray(lf)
         scale = max(np.abs(lr).max(), 1e-3)
-        np.testing.assert_allclose(lf / scale, lr / scale, atol=5e-4)
+        np.testing.assert_allclose(lf / scale, lr / scale, atol=1e-3)
 
 
 @pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
