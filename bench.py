@@ -8,6 +8,8 @@ pre-batched dataset — svgpvae_tpu.train.make_epoch_fn).
 
 The `suite` field carries the rest (VERDICT r1 item 3, r2 item 7):
   * mnist_train        — steps/s, ms/step, XLA-counted FLOPs/step, MFU
+  * mnist_titsias_train — same shapes on the collapsed-L_T bound (no
+                         GECO), guarding the determinant-lemma bound
   * mnist_eval         — the driver's full eval pass group (recon stacks
                          + full-train encode + cgen), ms per pass
   * sprites_train      — SPRITES train step at reference scale
@@ -62,6 +64,7 @@ SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 # 0.03046/0.03096 vs 0.03019 two-pass, within seed noise)
 GP_IMPL = os.environ.get("BENCH_GP_IMPL", "auto")
 GP_IMPL_SPRITES = GP_IMPL  # resolved per-workload in main()
+GP_IMPL_TITSIAS = GP_IMPL  # resolved per-bound in main()
 
 PEAK_FLOPS = (  # bf16 MXU peak per chip, by device_kind substring
     ("v5 lite", 197.0e12),
@@ -164,8 +167,12 @@ def _hbm_util(bytes_per_call, calls_per_sec):
 # workloads
 # ---------------------------------------------------------------------------
 
-def bench_mnist(peak):
-    """North-star MNIST SVGPVAE-Hensman GECO epoch-scan."""
+def bench_mnist(peak, titsias=False):
+    """North-star MNIST SVGPVAE epoch-scan: Hensman+GECO by default;
+    titsias=True benches the collapsed-L_T bound instead (no GECO, like
+    cli.mnist --elbo SVGPVAE_Titsias) — regression guard for the
+    determinant-lemma bound (PARITY.md #12), which replaced the
+    reference's O(L b^3) dense covariance Cholesky."""
     import jax.numpy as jnp
     import jax
     from svgpvae_tpu import gp as gpm
@@ -189,7 +196,8 @@ def bench_mnist(peak):
     ip = np.hstack([np.arange(m)[:, None], rng.rand(m, 1) * 2 * np.pi,
                     rng.randn(m, M)])
     gp = gpm.init_mnist_svgp(ip, rng.randn(n_obj, M),
-                             config=SVGPConfig(jitter=1e-6, N_train=N_train))
+                             config=SVGPConfig(jitter=1e-6, N_train=N_train,
+                                               titsias=titsias))
 
     images = jnp.asarray(rng.rand(n_batches, b, 28, 28, 1), jnp.float32)
     aux = jnp.asarray(np.stack([np.hstack([
@@ -206,10 +214,12 @@ def bench_mnist(peak):
         out = models.forward_pass_svgpvae(
             vae, params["vae"], params["gp"], batch, key, beta=0.001,
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
-            kappa=kappa, clip_qs=True, geco=True, gp_block_impl=GP_IMPL)
+            kappa=kappa, clip_qs=True, geco=not titsias,
+            gp_block_impl=GP_IMPL_TITSIAS if titsias else GP_IMPL)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
-        return out.elbo, (new_geco, {"recon": out.recon_loss})
+        loss = out.elbo if not titsias else -out.elbo  # GECO minimizes
+        return loss, (new_geco, {"recon": out.recon_loss})
 
     tx = train.make_optimizer(1e-3)
     state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
@@ -236,7 +246,8 @@ def bench_mnist(peak):
         "flops_per_step": flops_step,
         "mfu": _mfu(flops_epoch, reps / elapsed, peak),
         "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
-        "config": f"batch {b}, 28x28x1, L{L}, M{M}, m{m}, GECO, epoch-scan",
+        "config": (f"batch {b}, 28x28x1, L{L}, M{M}, m{m}, "
+                   f"{'Titsias' if titsias else 'GECO'}, epoch-scan"),
     }
 
 
@@ -698,17 +709,22 @@ def main() -> None:
     import svgpvae_tpu  # noqa: F401
     import jax
 
-    global GP_IMPL, GP_IMPL_SPRITES
+    global GP_IMPL, GP_IMPL_SPRITES, GP_IMPL_TITSIAS
     from svgpvae_tpu.models import resolve_gp_block_impl
     # per-workload: auto -> reference on SPRITES (closed-form-KL carve-out,
-    # models.resolve_gp_block_impl docstring), fused_pallas-on-TPU elsewhere
+    # models.resolve_gp_block_impl docstring), fused_pallas-on-TPU
+    # elsewhere; Titsias configs -> the fused determinant-lemma bound on
+    # every backend (the dense two-pass bound is f32-fragile, PARITY #12)
     GP_IMPL_SPRITES = resolve_gp_block_impl(GP_IMPL, workload="sprites")
+    GP_IMPL_TITSIAS = resolve_gp_block_impl(GP_IMPL, titsias=True)
     GP_IMPL = resolve_gp_block_impl(GP_IMPL)
 
     peak = _peak_flops()
     only = os.environ.get("BENCH_ONLY")  # comma-separated workload filter
     suite = {}
     for name, fn in (("mnist_train", lambda: bench_mnist(peak)),
+                     ("mnist_titsias_train",
+                      lambda: bench_mnist(peak, titsias=True)),
                      ("mnist_eval", lambda: bench_mnist_eval(peak)),
                      ("sprites_train", lambda: bench_sprites_train(peak)),
                      ("sprites_eval", lambda: bench_sprites_eval(peak)),

@@ -77,8 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_experiment(args) -> dict:
-    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl,
-                                                      workload="ball")
+    args.gp_block_impl = models.resolve_gp_block_impl(
+        args.gp_block_impl, workload="ball",
+        titsias=args.elbo == "SVGPVAE_Titsias")
     batch, px, py, r = 35, 32, 32, 3.0
     tmax = args.tmax
     model_lt = 0.001 if args.elbo == "VAE" else args.modellt

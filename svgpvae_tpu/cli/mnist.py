@@ -203,7 +203,8 @@ def object_vectors_init(args):
 def run_svgpvae(args) -> dict:
     # idempotent: main() already resolves, but tests/other callers may
     # drive run_svgpvae directly with the parser default "auto"
-    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl)
+    args.gp_block_impl = models.resolve_gp_block_impl(
+        args.gp_block_impl, titsias=args.elbo == "SVGPVAE_Titsias")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
         if args.bf16:
@@ -1120,7 +1121,8 @@ def run_casale(args) -> dict:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl)
+    args.gp_block_impl = models.resolve_gp_block_impl(
+        args.gp_block_impl, titsias=args.elbo == "SVGPVAE_Titsias")
     if args.elbo.startswith("GPVAE_Casale"):
         # "GPVAE_Casale_batch" is accepted for reference-CLI parity; the
         # training pass is identical (the reference's batch variant only

@@ -23,8 +23,9 @@ from svgpvae_tpu import linalg
 QVAR_CLIP = (1e-3, 10.0)
 
 
-def resolve_gp_block_impl(impl: str, workload: str = "mnist") -> str:
-    """Resolve --gp_block_impl 'auto' by backend AND workload.
+def resolve_gp_block_impl(impl: str, workload: str = "mnist",
+                          titsias: bool = False) -> str:
+    """Resolve --gp_block_impl 'auto' by backend, workload, and bound.
 
     On TPU the fused block + Pallas inverse megakernel is the measured
     winner on the MNIST and ball workloads (RESULTS.md round 3: 1.99x
@@ -54,13 +55,31 @@ def resolve_gp_block_impl(impl: str, workload: str = "mnist") -> str:
     tunnel noise (the extra A_hat refactorization eats the one-pass
     savings on this conv-dominated step), so 'auto' keeps the two-pass
     parity anchor there (RESULTS.md round 3).
+
+    Titsias configs resolve to the fused (determinant-lemma) bound on
+    EVERY backend: the two-pass path's dense covariance Q + diag(noise)
+    is computed through a float32 Kmm solve whose error is O(eps *
+    cond(Kmm)) — once the kernel trains into the long-length-scale
+    regime, Q goes numerically indefinite at O(1) scale (measured
+    lambda_min(cov) = -22 at the failing step, tools/debug_titsias.py)
+    and the dense Cholesky's logdet/quad become an unbounded false
+    reward; the 1000-epoch MNIST Titsias run NaNs at epoch ~118 under
+    it, in both the chunked and unchunked runners.  The reference
+    survives the same region only because its arithmetic is float64
+    (PARITY.md #11/#12).  The fused bound never forms Q and all its
+    (m, m) factorizations are ridge-protected, and its 1000-epoch run
+    lands at cgen 0.03449 (RESULTS.md round 3).  The two-pass path
+    stays the parity anchor for tests and `--x64` runs.
     """
     if impl != "auto":
         return impl
     if workload == "sprites":
         return "reference"
     import jax
-    return "fused_pallas" if jax.default_backend() == "tpu" else "reference"
+    on_tpu = jax.default_backend() == "tpu"
+    if titsias:
+        return "fused_pallas" if on_tpu else "fused"
+    return "fused_pallas" if on_tpu else "reference"
 # GP posterior variance clip for SPRITES (reference: SVGPVAE_model.py:891-892)
 PVAR_CLIP = (1e-4, 100.0)
 

@@ -42,6 +42,17 @@ def test_resolve_gp_block_impl_workload_aware():
                 else "reference")
     assert models.resolve_gp_block_impl("auto", "mnist") == expected
     assert models.resolve_gp_block_impl("auto", "ball") == expected
+    # Titsias configs resolve to the fused determinant-lemma bound on
+    # every backend (the dense two-pass bound is f32-fragile in the
+    # long-length-scale regime — PARITY.md #11/#12)
+    expected_t = ("fused_pallas" if jax.default_backend() == "tpu"
+                  else "fused")
+    assert models.resolve_gp_block_impl("auto", "mnist",
+                                        titsias=True) == expected_t
+    assert models.resolve_gp_block_impl("auto", "ball",
+                                        titsias=True) == expected_t
+    assert models.resolve_gp_block_impl("reference", "mnist",
+                                        titsias=True) == "reference"
 
 
 def test_svgpvae_forward_fused_rejitter_matches_reference():
