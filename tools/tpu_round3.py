@@ -405,6 +405,26 @@ def wave11():
     ]
 
 
+def wave12():
+    """Clean-host Titsias timings after the determinant-lemma rewrite
+    (the wave-10 rerun timings were inflated by a concurrent CPU pytest
+    suite): bench the new mnist_titsias_train line per impl, and a
+    4000-epoch Titsias record run now that the bound is f32-stable."""
+    py = sys.executable
+    bench = [py, os.path.join(ROOT, "bench.py")]
+    bo = {"BENCH_ONLY": "mnist_train,mnist_titsias_train"}
+    return [
+        ("bench_titsias_auto", bench, 1500, bo),
+        ("bench_titsias_fused", bench, 1500,
+         {**bo, "BENCH_GP_IMPL": "fused"}),
+        (lambda j: (j[0],
+                    [a for a in j[1] if a != "--GECO"], j[2]))(
+            mnist_job("titsias_4k", ["--elbo", "SVGPVAE_Titsias",
+                                     "--epoch_chunk", "50"],
+                      epochs=4000, timeout=4200, eval_every=200)) + ({},),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -414,7 +434,7 @@ def main():
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
-            10: wave10, 11: wave11}[args.wave]()
+            10: wave10, 11: wave11, 12: wave12}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
