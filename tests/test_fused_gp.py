@@ -602,3 +602,50 @@ def test_fused_block_gradients_match_two_pass(impl, monkeypatch):
         lr, lf = np.asarray(lr), np.asarray(lf)
         scale = max(np.abs(lr).max(), 1e-3)
         np.testing.assert_allclose(lf / scale, lr / scale, atol=5e-4)
+
+
+def test_fused_titsias_stable_on_ill_conditioned_kernel():
+    """Regression guard for the Titsias f32 instability (PARITY.md
+    #11/#12, RESULTS.md round 3): at the measured failure regime —
+    long periodic length scale collapsing cond(Kmm) past 1/eps32,
+    encoder variances at the clip floor — the shipped fused
+    (determinant-lemma) bound must stay finite AND track the float64
+    truth, where the dense two-pass bound's f32 Q goes indefinite at
+    O(1) scale (measured lambda_min(cov) = -22 in the 1000-epoch run)
+    and its Cholesky logdet/quad turn into an unbounded false reward.
+    Only the shipped path is asserted healthy; the two-pass impl at
+    these params is exactly why `auto` routes Titsias to the fused
+    bound on every backend."""
+    R = np.random.RandomState(11)
+    b, L, M, m, n_obj = 256, 16, 8, 32, 400
+    ip = np.hstack([np.arange(m)[:, None], R.rand(m, 1) * 2 * np.pi,
+                    R.randn(m, M)])
+    gp = gpm.init_mnist_svgp(
+        ip, R.randn(n_obj, M),
+        config=SVGPConfig(jitter=1e-6, N_train=4050, titsias=True))
+    # the bisected failure point: ls ~4.6, amp ~1.6 (tools/debug_titsias)
+    gp = gp.replace(length_scale=jnp.asarray(4.6, jnp.float32),
+                    amplitude=jnp.asarray(1.6, jnp.float32))
+    aux = jnp.asarray(np.hstack([
+        R.randint(0, n_obj, (b, 1)).astype(float),
+        R.rand(b, 1) * 2 * np.pi, R.randn(b, M)]), jnp.float32)
+    y = jnp.asarray(R.randn(b, L), jnp.float32)
+    noise = jnp.full((b, L), 1e-3, jnp.float32)  # QVAR_CLIP floor
+
+    got = gpm.gp_block_titsias(gp, aux, y, noise)
+    l2_32 = np.asarray(got[2])
+    assert np.isfinite(l2_32).all()
+
+    # float64 truth through the same fused path
+    jax.config.update("jax_enable_x64", True)
+    try:
+        f64 = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, t)
+        l2_64 = np.asarray(gpm.gp_block_titsias(
+            f64(gp), f64(aux), f64(y), f64(noise))[2])
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    # no false reward: f32 tracks f64 at a few percent on a bound whose
+    # failure mode is +1e16
+    np.testing.assert_allclose(l2_32, l2_64, rtol=5e-2)
