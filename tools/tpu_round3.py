@@ -425,6 +425,32 @@ def wave12():
     ]
 
 
+def wave13():
+    """SPRITES Titsias gates (full 50k-frame corpus, 30 epochs): does the
+    two-pass dense bound survive f32 on the rank-deficient kernel, and
+    does the fused determinant-lemma bound match it?  Plus the Titsias
+    8000-epoch MNIST record (4000 was still improving) and a final full
+    bench refresh under shipped defaults (updates BENCH_LAST_GOOD and
+    picks up the new mnist_titsias_train line)."""
+    py = sys.executable
+
+    def sprites_tit(expid, impl):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        "--gp_block_impl", impl])
+        cmd = [a for a in cmd if a != "--GECO"]
+        return (expid, cmd, 2400, {})
+
+    return [
+        sprites_tit("sprites_tit_ref", "reference"),
+        sprites_tit("sprites_tit_fused", "fused"),
+        (lambda j: (j[0], [a for a in j[1] if a != "--GECO"], j[2]))(
+            mnist_job("titsias_8k", ["--elbo", "SVGPVAE_Titsias",
+                                     "--epoch_chunk", "50"],
+                      epochs=8000, timeout=5400, eval_every=200)) + ({},),
+        ("bench_full", [py, os.path.join(ROOT, "bench.py")], 2400, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -434,7 +460,7 @@ def main():
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
-            10: wave10, 11: wave11, 12: wave12}[args.wave]()
+            10: wave10, 11: wave11, 12: wave12, 13: wave13}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
