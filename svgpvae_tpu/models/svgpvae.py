@@ -64,12 +64,14 @@ def resolve_gp_block_impl(impl: str, workload: str = "mnist",
     lambda_min(cov) = -22 at the failing step, tools/debug_titsias.py)
     and the dense Cholesky's logdet/quad become an unbounded false
     reward; the 1000-epoch MNIST Titsias run NaNs at epoch ~118 under
-    it, in both the chunked and unchunked runners.  The reference
-    survives the same region only because its arithmetic is float64
-    (PARITY.md #11/#12).  The fused bound never forms Q and all its
-    (m, m) factorizations are ridge-protected, and its 1000-epoch run
-    lands at cgen 0.03449 (RESULTS.md round 3).  The two-pass path
-    stays the parity anchor for tests and `--x64` runs.
+    it.  The pathology is precision-independent: the same config under
+    --x64 (full float64) diverges to ELBO +9.6e15 by epoch 99 — f64
+    only moves the cliff (PARITY.md #11/#12).  The fused bound never
+    forms Q, its (m, m) factorizations carry a scale-relative ridge
+    that keeps the computed bound's error bounded relative to scale
+    (breaking the feedback loop), and its 1000/4000-epoch runs land at
+    cgen 0.03449/0.03067 (RESULTS.md round 3).  The two-pass path
+    stays the parity anchor for formula-level tests.
     """
     if impl != "auto":
         return impl
