@@ -126,8 +126,9 @@ def ensure_dataset(args) -> None:
 
 
 def run_experiment(args) -> dict:
-    args.gp_block_impl = models.resolve_gp_block_impl(args.gp_block_impl,
-                                                      workload="sprites")
+    args.gp_block_impl = models.resolve_gp_block_impl(
+        args.gp_block_impl, workload="sprites",
+        titsias=args.elbo == "SVGPVAE_Titsias")
     assert args.object_kernel_normalize + args.K_SE <= 1, \
         "at most one GP kernel engineering flag at once"
     fpc_train = 50  # train frames per character (SPRITES_experiment.py:37)

@@ -71,16 +71,30 @@ def resolve_gp_block_impl(impl: str, workload: str = "mnist",
     that keeps the computed bound's error bounded relative to scale
     (breaking the feedback loop), and its 1000/4000-epoch runs land at
     cgen 0.03449/0.03067 (RESULTS.md round 3).  The two-pass path
-    stays the parity anchor for formula-level tests.
+    stays the parity anchor for formula-level tests.  On SPRITES the
+    contrast is starkest — the rank-deficient kernel puts the dense
+    bound in the runaway regime from step 0 (full-scale gate: NaN at
+    epoch ~23 vs fused clean at cgen 0.01626) — and Titsias-on-sprites
+    resolves to 'fused' (Cholesky Woodbury; the Pallas explicit inverse
+    is kept off that spectrum, where it corrupts p_m to ~1.7e-2).
     """
     if impl != "auto":
         return impl
-    if workload == "sprites":
-        return "reference"
     import jax
     on_tpu = jax.default_backend() == "tpu"
     if titsias:
+        if workload == "sprites":
+            # Woodbury bound, Cholesky solves: the full-scale gate is
+            # clean at cgen 0.01626 where the dense two-pass path NaNs
+            # at epoch ~23 (its rank-deficient Kmm puts the dense bound
+            # in the runaway regime from step 0); the Pallas explicit
+            # inverse stays off this spectrum (it corrupts p_m to
+            # ~1.7e-2 there — the round-3 Hensman finding applies to
+            # the shared posterior stack too)
+            return "fused"
         return "fused_pallas" if on_tpu else "fused"
+    if workload == "sprites":
+        return "reference"
     return "fused_pallas" if on_tpu else "reference"
 # GP posterior variance clip for SPRITES (reference: SVGPVAE_model.py:891-892)
 PVAR_CLIP = (1e-4, 100.0)

@@ -53,6 +53,11 @@ def test_resolve_gp_block_impl_workload_aware():
                                         titsias=True) == expected_t
     assert models.resolve_gp_block_impl("reference", "mnist",
                                         titsias=True) == "reference"
+    # sprites+Titsias: Cholesky Woodbury on every backend (dense bound
+    # NaNs from the rank-deficient spectrum; Pallas explicit inverse
+    # corrupts p_m there)
+    assert models.resolve_gp_block_impl("auto", "sprites",
+                                        titsias=True) == "fused"
 
 
 def test_svgpvae_forward_fused_rejitter_matches_reference():
