@@ -192,19 +192,53 @@ def mnist_workload(base_reps):
         return (val + sum(jnp.sum(x) for x in
                           jax.tree_util.tree_leaves(new))) * 1e-30
 
+    # Titsias full step per impl: the dense two-pass bound (O(L b^3)
+    # covariance Cholesky) vs the determinant-lemma/Woodbury bound
+    # (PARITY #12).  Timed at the random init (both are numerically
+    # healthy there; the dense path's divergence needs trained params)
+    gp_t = gp.replace(config=gp.config.replace(titsias=True))
+    params_t = {"vae": vae_params, "gp": gp_t}
+    opt_state_t = tx.init(params_t)
+
+    def loss_titsias(params_, images_, key, gp_block_impl):
+        out = models.forward_pass_svgpvae(
+            vae, params_["vae"], params_["gp"], (images_, aux), key,
+            beta=0.001, C_ma=jnp.float32(0.0),
+            lagrange_mult=jnp.float32(1.0), alpha=0.99, kappa=kappa,
+            clip_qs=True, geco=False, gp_block_impl=gp_block_impl)
+        return -out.elbo
+
+    def titsias_step_body(c, impl):
+        val, grads = jax.value_and_grad(loss_titsias)(
+            params_t, images + c * 1e-30, key, impl)
+        updates, _ = tx.update(grads, opt_state_t, params_t)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params_t, updates)
+        return (val + sum(jnp.sum(x) for x in
+                          jax.tree_util.tree_leaves(new))) * 1e-30
+
     named = [("encoder_fwd", enc_body), ("decoder_fwd", dec_body),
              ("gp_fwd", gp_body), ("loss_fwd", fwd_body),
              ("loss_fwd_bwd", fwd_bwd_body), ("full_step", full_step_body),
              ("full_step_fused",
-              lambda c: full_step_impl_body(c, "fused"))]
+              lambda c: full_step_impl_body(c, "fused")),
+             ("titsias_step_dense",
+              lambda c: titsias_step_body(c, "reference")),
+             ("titsias_step_woodbury",
+              lambda c: titsias_step_body(c, "fused"))]
     if jax.default_backend() == "tpu":
         named.append(("full_step_fused_pallas",
                       lambda c: full_step_impl_body(c, "fused_pallas")))
+        named.append(("titsias_step_woodbury_pallas",
+                      lambda c: titsias_step_body(c, "fused_pallas")))
     comps = time_components(tuple(named), base_reps)
     for k in ("full_step_fused", "full_step_fused_pallas"):
         if k in comps:
             comps[k]["speedup_vs_reference"] = round(
                 comps["full_step"]["ms"] / comps[k]["ms"], 3)
+    for k in ("titsias_step_woodbury", "titsias_step_woodbury_pallas"):
+        if k in comps:
+            comps[k]["speedup_vs_dense"] = round(
+                comps["titsias_step_dense"]["ms"] / comps[k]["ms"], 3)
 
     comps["encoder_fwd"]["flops"] = flops_of(
         lambda x: vae.apply(vae_params, x, method=vae.encode), images)
