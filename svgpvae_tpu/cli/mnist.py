@@ -112,6 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "megakernel, fused with the two-pass rejittered KL "
                         "(gp/fused.py), or auto (fused_pallas on TPU, "
                         "reference elsewhere)")
+    p.add_argument("--titsias_reference_ce", action="store_true",
+                   help="restore the reference's encoder cross-entropy CE term for\n                   Titsias configs (PARITY.md #13: it rewards encoder-posterior\n                   divergence and measurably diverges; default uses the exact\n                   sampling-distribution entropy)")
     p.add_argument("--synthetic_digits", action="store_true",
                    help="allow multi-digit --dataset values to bootstrap "
                         "from synthetic seven-segment glyph base images "
@@ -290,7 +292,8 @@ def run_svgpvae(args) -> dict:
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
             kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
             bias_analysis=args.bias_analysis,
-            gp_block_impl=args.gp_block_impl)
+            gp_block_impl=args.gp_block_impl,
+            titsias_reference_ce=args.titsias_reference_ce)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
         loss = out.elbo if args.GECO else -out.elbo
@@ -337,7 +340,8 @@ def run_svgpvae(args) -> dict:
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult,
             alpha=args.alpha, kappa=kappa, clip_qs=args.clip_qs,
             geco=args.GECO, lagrange_max=args.geco_lambda_max,
-            gp_block_impl=args.gp_block_impl)
+            gp_block_impl=args.gp_block_impl,
+            titsias_reference_ce=args.titsias_reference_ce)
         return out
 
     @jax.jit

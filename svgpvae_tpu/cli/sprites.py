@@ -102,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "RESULTS.md round 3); fused_rejitter keeps the "
                         "one-pass dedup but computes the two-pass "
                         "rejittered KL (null-space-safe)")
+    p.add_argument("--titsias_reference_ce", action="store_true",
+                   help="restore the reference's encoder cross-entropy CE term for\n                   Titsias configs (PARITY.md #13: it rewards encoder-posterior\n                   divergence and measurably diverges; default uses the exact\n                   sampling-distribution entropy)")
     p.add_argument("--reshuffle", action="store_true",
                    help="reshuffle the example order each epoch inside the "
                         "epoch-scan program (the reference's tf.data "
@@ -129,6 +131,7 @@ def run_experiment(args) -> dict:
     args.gp_block_impl = models.resolve_gp_block_impl(
         args.gp_block_impl, workload="sprites",
         titsias=args.elbo == "SVGPVAE_Titsias")
+    print(f"gp_block_impl resolved to: {args.gp_block_impl}")
     assert args.object_kernel_normalize + args.K_SE <= 1, \
         "at most one GP kernel engineering flag at once"
     fpc_train = 50  # train frames per character (SPRITES_experiment.py:37)
@@ -309,7 +312,8 @@ def run_experiment(args) -> dict:
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
             kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
             repr_apply=repr_net.apply, repr_params=params["repr"],
-            frames_per_char=fpc, gp_block_impl=args.gp_block_impl)
+            frames_per_char=fpc, gp_block_impl=args.gp_block_impl,
+            titsias_reference_ce=args.titsias_reference_ce)
 
     def loss_fn(params, batch, key, geco, step):
         if is_svgpvae:

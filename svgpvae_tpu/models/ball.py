@@ -80,7 +80,8 @@ def _bernoulli_recon(vids: Array, logits: Array) -> Array:
 def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
                       gp: BallSVGP, vids: Array, beta, key,
                       clip_qs: bool = False,
-                      gp_block_impl: str = "reference") -> BallOutputs:
+                      gp_block_impl: str = "reference",
+                      titsias_reference_ce: bool = False) -> BallOutputs:
     """SVGPVAE ELBO on ball videos (reference: build_SVGPVAE_elbo_graph,
     SVGPVAE_model.py:638-715).  Times run 1..T.
 
@@ -120,8 +121,17 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
     inside_elbo_kl = jnp.sum(kl_terms, axis=-1)
     inside_elbo = inside_elbo_recon - inside_elbo_kl
 
-    ce = linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var)
-    ce_term = -jnp.sum(ce, axis=(1, 2))  # (batch,)
+    if gp.config.titsias and not titsias_reference_ce:
+        # exact sampling-distribution entropy H(p~) instead of the
+        # reference's encoder cross-entropy — see forward_pass_svgpvae
+        # and PARITY.md #13 (the collapsed bound has no data-fit term
+        # canceling the cross-entropy's divergence reward)
+        ce_term = jnp.sum(
+            0.5 * (1.0 + linalg.LOG_2PI
+                   + jnp.log(jnp.maximum(p_v, 1e-12))), axis=(1, 2))
+    else:
+        ce = linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var)
+        ce_term = -jnp.sum(ce, axis=(1, 2))  # (batch,)
 
     eps = jax.random.normal(key, p_m.shape, dtype=p_m.dtype)
     latent = p_m + eps * linalg.stable_sqrt(jnp.clip(p_v, *BALL_PVAR_CLIP))

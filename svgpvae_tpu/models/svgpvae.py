@@ -57,26 +57,18 @@ def resolve_gp_block_impl(impl: str, workload: str = "mnist",
     parity anchor there (RESULTS.md round 3).
 
     Titsias configs resolve to the fused (determinant-lemma) bound on
-    EVERY backend: the two-pass path's dense covariance Q + diag(noise)
-    is computed through a float32 Kmm solve whose error is O(eps *
-    cond(Kmm)) — once the kernel trains into the long-length-scale
-    regime, Q goes numerically indefinite at O(1) scale (measured
-    lambda_min(cov) = -22 at the failing step, tools/debug_titsias.py)
-    and the dense Cholesky's logdet/quad become an unbounded false
-    reward; the 1000-epoch MNIST Titsias run NaNs at epoch ~118 under
-    it.  The pathology is precision-independent: the same config under
-    --x64 (full float64) diverges to ELBO +9.6e15 by epoch 99 — f64
-    only moves the cliff (PARITY.md #11/#12).  The fused bound never
-    forms Q, its (m, m) factorizations carry a scale-relative ridge
-    that keeps the computed bound's error bounded relative to scale
-    (breaking the feedback loop), and its 1000/4000-epoch runs land at
-    cgen 0.03449/0.03067 (RESULTS.md round 3).  The two-pass path
-    stays the parity anchor for formula-level tests.  On SPRITES the
-    contrast is starkest — the rank-deficient kernel puts the dense
-    bound in the runaway regime from step 0 (full-scale gate: NaN at
-    epoch ~23 vs fused clean at cgen 0.01626) — and Titsias-on-sprites
-    resolves to 'fused' (Cholesky Woodbury; the Pallas explicit inverse
-    is kept off that spectrum, where it corrupts p_m to ~1.7e-2).
+    EVERY backend: it is 3.5-5.7x faster scan-timed at north-star
+    shapes and removes the dense covariance's float32 NaN surface —
+    once the PARITY #13 objective runaway (fixed separately; the
+    entropy-form CE is the actual stability fix) drives encoder means
+    huge, the dense path's f32 Kmm solve makes cov numerically
+    indefinite at O(1) scale (measured lambda_min(cov) = -22,
+    tools/debug_titsias.py) and its Cholesky NaNs, while the Woodbury
+    bound's ridge-protected (m, m) factorizations stay finite.  On
+    SPRITES, Titsias resolves to 'fused' (Cholesky Woodbury; the
+    Pallas explicit inverse is kept off that rank-deficient spectrum,
+    where it corrupts p_m to ~1.7e-2).  The two-pass dense path stays
+    the parity anchor for formula-level tests.
     """
     if impl != "auto":
         return impl
@@ -146,7 +138,8 @@ def forward_pass_svgpvae(
         repr_apply=None, repr_params=None, frames_per_char: int = 0,
         bias_analysis: bool = False,
         lagrange_max: float = 1e5,
-        gp_block_impl: str = "reference") -> SVGPVAEOutputs:
+        gp_block_impl: str = "reference",
+        titsias_reference_ce: bool = False) -> SVGPVAEOutputs:
     """Training forward pass (reference: forward_pass_SVGPVAE,
     SVGPVAE_model.py:823-936).
 
@@ -243,7 +236,26 @@ def forward_pass_svgpvae(
         # reason, :1175-1177), which would NaN the log in the CE term
         p_v = jnp.maximum(p_v, 1e-6)
 
-    ce_term = jnp.sum(linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var))
+    if gp_params.config.titsias and not titsias_reference_ce:
+        # Exact entropy of the sampling distribution N(p_m, p_v):
+        # ce := E_{p~}[log p~(z)] = sum -0.5 (1 + log 2 pi p_v), so
+        # -ce + inside_elbo = inside_elbo + H(p~) — the ELBO's true
+        # -E[log q~] term.  The reference instead uses the cross-entropy
+        # against the ENCODER Gaussian (E_{p~}[log N(z; qnet_mu,
+        # qnet_var)], SVGPVAE_model.py:897-899) — exact only when the
+        # encoder equals the GP posterior, and otherwise a REWARD for
+        # their divergence.  With the Hensman bound the inside-ELBO's
+        # data-fit term cancels that spurious channel at the identical
+        # 1/(2 qv) weight (tests/test_fused_gp.py
+        # test_titsias_objective_runaway_channel), so the reference form
+        # stays the Hensman default; with the collapsed Titsias bound
+        # nothing cancels it and training measurably diverges (encoder
+        # means -> 1e8, ELBO -> +1e14, in float32 AND float64 —
+        # RESULTS.md round 3, PARITY.md #13).
+        ce_term = jnp.sum(-0.5 * (1.0 + linalg.LOG_2PI + jnp.log(p_v)))
+    else:
+        ce_term = jnp.sum(linalg.gauss_cross_entropy(p_m, p_v,
+                                                     qnet_mu, qnet_var))
     kl_term = -ce_term + inside_elbo
 
     eps = jax.random.normal(key, p_m.shape, dtype=p_m.dtype)

@@ -649,3 +649,58 @@ def test_fused_titsias_stable_on_ill_conditioned_kernel():
     # no false reward: f32 tracks f64 at a few percent on a bound whose
     # failure mode is +1e16
     np.testing.assert_allclose(l2_32, l2_64, rtol=5e-2)
+
+
+def test_titsias_objective_runaway_channel():
+    """Documents the reference-objective degeneracy behind the Titsias
+    training explosions (RESULTS.md round 3): the forward pass's
+    KL_term = inside_elbo - ce has a residual channel
+    +0.5 (qm - pm)^2 / qv from -ce.  For the HENSMAN bound,
+    inside_elbo's data-fit term -0.5 prec (qm - pm)^2 cancels it at the
+    identical 1/(2 qv) weight, so gradient ascent on the encoder means
+    converges.  The collapsed TITSIAS bound penalizes qm only through
+    cov^{-1} <= D^{-1} (and the posterior's N/b scale breaks the
+    marginal cancellation), leaving a net unbounded ascent direction —
+    measured in training as encoder means exploding to 1e8 with sane GP
+    params, ELBO ~ -(beta/L) * ce, in float32 AND float64.  This test
+    pins the mechanism at the objective level: 300 normalized-gradient
+    ascent steps on y (variances at the clip floor) leave the Hensman
+    KL_term bounded while the Titsias KL_term climbs past it by
+    hundreds.  If a future objective change makes Titsias bounded here,
+    the GECO-default mitigation can be revisited."""
+    gp, aux, y0, noise0 = _mnist_problem()
+    noise = jnp.full_like(noise0, 1e-3)
+
+    def make_kl_term(g, titsias):
+        def kl_term(yy):
+            p_m, p_v, mu_hat, A_hat = gpm.posterior_params(
+                g, aux, aux, yy, noise)
+            s, k = gpm.variational_loss(g, aux, yy, noise, mu_hat, A_hat)
+            inside = jnp.sum(s) - (jnp.sum(k) if titsias else
+                                   (yy.shape[0] / g.config.N_train)
+                                   * jnp.sum(k))
+            from svgpvae_tpu import linalg
+            ce = jnp.sum(linalg.gauss_cross_entropy(
+                p_m, jnp.maximum(p_v, 1e-6), yy, noise))
+            return -ce + inside
+        return kl_term
+
+    results = {}
+    for titsias in (False, True):
+        g = gp.replace(config=gp.config.replace(titsias=titsias))
+        f = jax.jit(jax.value_and_grad(make_kl_term(g, titsias)))
+        yy, v0, v = y0, None, None
+        for it in range(301):
+            v, grad = f(yy)
+            if it == 0:
+                v0 = float(v)
+            yy = yy + 0.05 * grad / (jnp.linalg.norm(grad) + 1e-9)
+        results[titsias] = (v0, float(v), float(jnp.abs(yy).max()))
+
+    h0, h300, hmax = results[False]
+    t0, t300, tmax = results[True]
+    # Hensman: bounded (ascent gains < 5 nats, means stay data-scale)
+    assert h300 - h0 < 5.0, (h0, h300)
+    assert hmax < 10.0, hmax
+    # Titsias: the same ascent finds the unbounded channel
+    assert t300 - t0 > 100.0, (t0, t300)

@@ -451,6 +451,22 @@ def wave13():
     ]
 
 
+def wave14():
+    """SPRITES Titsias extensions after the gate: the 90-epoch horizon
+    (mirrors the Hensman record) and the bf16 combo (bf16 is a measured
+    1.36x on the conv-dominated SPRITES step)."""
+    def sprites_tit(expid, extra):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        *extra])
+        cmd = [a for a in cmd if a != "--GECO"]
+        return (expid, cmd, 3000, {})
+
+    return [
+        sprites_tit("sprites_tit_90ep", ["--opt_regime", "joint-90"]),
+        sprites_tit("sprites_tit_bf16", ["--bf16"]),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -460,7 +476,8 @@ def main():
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
-            10: wave10, 11: wave11, 12: wave12, 13: wave13}[args.wave]()
+            10: wave10, 11: wave11, 12: wave12, 13: wave13,
+            14: wave14}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
