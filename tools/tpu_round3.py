@@ -467,6 +467,37 @@ def wave14():
     ]
 
 
+def wave15():
+    """Validate the PARITY #13 entropy-form Titsias objective end to end:
+    repeated full-scale SPRITES stability gates (the reference-CE form
+    explodes on a compilation-noise coin flip — ~50% of identical
+    reruns), a 30-epoch SPRITES quality run, the MNIST 1000-epoch
+    quality run, and the ball 25k-step quality run."""
+    py = sys.executable
+
+    def sprites_tit(expid, regime):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        "--opt_regime", regime])
+        cmd = [a for a in cmd if a != "--GECO"]
+        return (expid, cmd, 2400, {})
+
+    return [
+        sprites_tit("tit_e1", "joint-2"),
+        sprites_tit("tit_e2", "joint-2"),
+        sprites_tit("tit_e3", "joint-2"),
+        sprites_tit("tit_30ep", "joint-30"),
+        (lambda j: (j[0], [a for a in j[1] if a != "--GECO"], j[2]))(
+            mnist_job("tit_entropy_1k", ["--elbo", "SVGPVAE_Titsias",
+                                         "--epoch_chunk", "50"],
+                      epochs=1000, timeout=1800, eval_every=200)) + ({},),
+        ("ball_tit_entropy",
+         [py, "-m", "svgpvae_tpu.cli.ball", "--elbo", "SVGPVAE_Titsias",
+          "--clip_qs", "--steps", "25000", "--eval_every", "5000",
+          "--base_dir", "/tmp/ball_tpu", "--expid", "ball_tit_entropy"],
+         1500, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -477,7 +508,7 @@ def main():
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
-            14: wave14}[args.wave]()
+            14: wave14, 15: wave15}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
