@@ -498,6 +498,32 @@ def wave15():
     ]
 
 
+def wave16():
+    """Record runs under the entropy-form Titsias objective (PARITY #13)
+    + the final full bench refresh under shipped defaults."""
+    py = sys.executable
+
+    def tit(expid, epochs, timeout):
+        j = mnist_job(expid, ["--elbo", "SVGPVAE_Titsias",
+                              "--epoch_chunk", "50"],
+                      epochs=epochs, timeout=timeout, eval_every=200)
+        return (j[0], [a for a in j[1] if a != "--GECO"], j[2], {})
+
+    def sprites_tit(expid, regime, extra=()):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        "--opt_regime", regime, *extra])
+        cmd = [a for a in cmd if a != "--GECO"]
+        return (expid, cmd, 3000, {})
+
+    return [
+        tit("tit_entropy_4k", 4000, 4200),
+        tit("tit_entropy_8k", 8000, 5400),
+        sprites_tit("tit_90ep_entropy", "joint-90"),
+        sprites_tit("tit_90ep_entropy_bf16", "joint-90", ("--bf16",)),
+        ("bench_full", [py, os.path.join(ROOT, "bench.py")], 2400, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -508,7 +534,7 @@ def main():
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
-            14: wave14, 15: wave15}[args.wave]()
+            14: wave14, 15: wave15, 16: wave16}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
