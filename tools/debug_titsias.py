@@ -12,6 +12,16 @@ magnitudes, and per-leaf gradient NaN counts — to identify whether the
 f32 roundoff floor eps*lambda_max(cov) has crossed the absolute jitter
 + q-variance clip floor (the same mechanism as the round-2 Hensman
 Sigma tail-batch NaN, RESULTS.md).  Diagnostic tool only.
+
+POSTSCRIPT (the investigation's conclusion): the spectrum-collapse this
+tool localizes turned out to be the SYMPTOM.  The root cause is an
+objective-level degeneracy of the reference ELBO composition — its CE
+term adds +KL(posterior || encoder) to the maximized objective, which
+the collapsed Titsias bound cannot cancel (the Hensman bound does,
+exactly).  See PARITY.md #13, RESULTS.md round 3, and
+tests/test_fused_gp.py::test_titsias_objective_runaway_channel.  This
+tool remains useful for localizing WHERE a trajectory leaves the good
+basin.
 """
 
 from __future__ import annotations

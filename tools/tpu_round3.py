@@ -524,6 +524,25 @@ def wave16():
     ]
 
 
+def wave17():
+    """Second seeds for the entropy-objective records (MNIST Titsias 8k
+    cgen 0.02693, SPRITES Titsias 90ep 0.01536)."""
+    def tit(expid, epochs, timeout):
+        j = mnist_job(expid, ["--elbo", "SVGPVAE_Titsias",
+                              "--epoch_chunk", "50", "--seed", "1"],
+                      epochs=epochs, timeout=timeout, eval_every=200)
+        return (j[0], [a for a in j[1] if a != "--GECO"], j[2], {})
+
+    cmd = _sprites_full_cmd("tit_90ep_entropy_s1",
+                            ["--elbo", "SVGPVAE_Titsias",
+                             "--opt_regime", "joint-90", "--seed", "1"])
+    cmd = [a for a in cmd if a != "--GECO"]
+    return [
+        tit("tit_entropy_8k_s1", 8000, 5400),
+        ("tit_90ep_entropy_s1", cmd, 3000, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -534,7 +553,7 @@ def main():
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
-            14: wave14, 15: wave15, 16: wave16}[args.wave]()
+            14: wave14, 15: wave15, 16: wave16, 17: wave17}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
