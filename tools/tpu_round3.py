@@ -543,6 +543,28 @@ def wave17():
     ]
 
 
+def wave18():
+    """Baseline-family record extensions: deep SVIGP at 2x its canonical
+    budget (is 0.0264 converged?) and Casale 3-way with a 1400-epoch
+    joint phase (0.03872 at joint-600 was still improving)."""
+    py = sys.executable
+    return [
+        ("svigp_4k", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                      "SVIGP_Hensman", "--ip_joint", "--GP_joint",
+                      "--ov_joint", "--clip_qs", "--PCA",
+                      "--mnist_data_path", MNIST, "--nr_epochs", "4000",
+                      "--eval_every", "200", "--base_dir", "/tmp/mnist_tpu",
+                      "--expid", "svigp_4k"], 3600, {}),
+        ("casale_1600", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                         "GPVAE_Casale", "--GP_joint", "--ov_joint",
+                         "--clip_qs", "--PCA", "--mnist_data_path", MNIST,
+                         "--opt_regime", "VAE-100", "GP-100", "joint-1400",
+                         "--eval_every", "100", "--base_dir",
+                         "/tmp/mnist_tpu", "--expid", "casale_1600"],
+         10800, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -553,7 +575,8 @@ def main():
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5,
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
-            14: wave14, 15: wave15, 16: wave16, 17: wave17}[args.wave]()
+            14: wave14, 15: wave15, 16: wave16, 17: wave17,
+            18: wave18}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
