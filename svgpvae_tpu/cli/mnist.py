@@ -114,6 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference elsewhere)")
     p.add_argument("--titsias_reference_ce", action="store_true",
                    help="restore the reference's encoder cross-entropy CE term for\n                   Titsias configs (PARITY.md #13: it rewards encoder-posterior\n                   divergence and measurably diverges; default uses the exact\n                   sampling-distribution entropy)")
+    p.add_argument("--entropy_ce", action="store_true",
+                   help="use the exact sampling-distribution entropy CE term for ANY\n                   ELBO family (it is already the Titsias default, PARITY.md #13;\n                   for Hensman this is an opt-in experiment — the reference CE\n                   channel cancels exactly there)")
     p.add_argument("--synthetic_digits", action="store_true",
                    help="allow multi-digit --dataset values to bootstrap "
                         "from synthetic seven-segment glyph base images "
@@ -293,7 +295,8 @@ def run_svgpvae(args) -> dict:
             kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
             bias_analysis=args.bias_analysis,
             gp_block_impl=args.gp_block_impl,
-            titsias_reference_ce=args.titsias_reference_ce)
+            titsias_reference_ce=args.titsias_reference_ce,
+            entropy_ce=args.entropy_ce)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
         loss = out.elbo if args.GECO else -out.elbo
@@ -341,7 +344,8 @@ def run_svgpvae(args) -> dict:
             alpha=args.alpha, kappa=kappa, clip_qs=args.clip_qs,
             geco=args.GECO, lagrange_max=args.geco_lambda_max,
             gp_block_impl=args.gp_block_impl,
-            titsias_reference_ce=args.titsias_reference_ce)
+            titsias_reference_ce=args.titsias_reference_ce,
+            entropy_ce=args.entropy_ce)
         return out
 
     @jax.jit

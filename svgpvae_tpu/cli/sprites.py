@@ -104,6 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "rejittered KL (null-space-safe)")
     p.add_argument("--titsias_reference_ce", action="store_true",
                    help="restore the reference's encoder cross-entropy CE term for\n                   Titsias configs (PARITY.md #13: it rewards encoder-posterior\n                   divergence and measurably diverges; default uses the exact\n                   sampling-distribution entropy)")
+    p.add_argument("--entropy_ce", action="store_true",
+                   help="use the exact sampling-distribution entropy CE term for ANY\n                   ELBO family (it is already the Titsias default, PARITY.md #13;\n                   for Hensman this is an opt-in experiment — the reference CE\n                   channel cancels exactly there)")
     p.add_argument("--reshuffle", action="store_true",
                    help="reshuffle the example order each epoch inside the "
                         "epoch-scan program (the reference's tf.data "
@@ -313,7 +315,8 @@ def run_experiment(args) -> dict:
             kappa=kappa, clip_qs=args.clip_qs, geco=args.GECO, lagrange_max=args.geco_lambda_max,
             repr_apply=repr_net.apply, repr_params=params["repr"],
             frames_per_char=fpc, gp_block_impl=args.gp_block_impl,
-            titsias_reference_ce=args.titsias_reference_ce)
+            titsias_reference_ce=args.titsias_reference_ce,
+            entropy_ce=args.entropy_ce)
 
     def loss_fn(params, batch, key, geco, step):
         if is_svgpvae:

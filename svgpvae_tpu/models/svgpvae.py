@@ -139,7 +139,8 @@ def forward_pass_svgpvae(
         bias_analysis: bool = False,
         lagrange_max: float = 1e5,
         gp_block_impl: str = "reference",
-        titsias_reference_ce: bool = False) -> SVGPVAEOutputs:
+        titsias_reference_ce: bool = False,
+        entropy_ce: bool = False) -> SVGPVAEOutputs:
     """Training forward pass (reference: forward_pass_SVGPVAE,
     SVGPVAE_model.py:823-936).
 
@@ -236,7 +237,9 @@ def forward_pass_svgpvae(
         # reason, :1175-1177), which would NaN the log in the CE term
         p_v = jnp.maximum(p_v, 1e-6)
 
-    if gp_params.config.titsias and not titsias_reference_ce:
+    use_entropy_ce = entropy_ce or (gp_params.config.titsias
+                                    and not titsias_reference_ce)
+    if use_entropy_ce:
         # Exact entropy of the sampling distribution N(p_m, p_v):
         # ce := E_{p~}[log p~(z)] = sum -0.5 (1 + log 2 pi p_v), so
         # -ce + inside_elbo = inside_elbo + H(p~) — the ELBO's true
