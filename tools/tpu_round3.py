@@ -565,6 +565,21 @@ def wave18():
     ]
 
 
+def wave19():
+    """Controlled experiment: does the exact-entropy CE term (the
+    Titsias stability fix, PARITY #13) also help the HENSMAN family?
+    Baselines: MNIST 2000 ep canonical = 0.03019; SPRITES 30 ep
+    canonical = 0.01640."""
+    def sprites_hens(expid, extra):
+        return (expid, _sprites_full_cmd(expid, list(extra)), 2400, {})
+
+    return [
+        mnist_job("hens_entropy_2k", ["--entropy_ce"], epochs=2000,
+                  timeout=2400) + ({},),
+        sprites_hens("sprites_hens_entropy", ("--entropy_ce",)),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -576,7 +591,7 @@ def main():
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
-            18: wave18}[args.wave]()
+            18: wave18, 19: wave19}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
