@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "on TPU, reference elsewhere)")
     p.add_argument("--titsias_reference_ce", action="store_true",
                    help="restore the reference's encoder cross-entropy CE term for\n                   Titsias configs (PARITY.md #13: it rewards encoder-posterior\n                   divergence and measurably diverges; default uses the exact\n                   sampling-distribution entropy)")
+    p.add_argument("--entropy_ce", action="store_true",
+                   help="exact sampling-distribution entropy CE term for ANY family\n                   (Titsias default; opt-in experiment for Hensman, PARITY.md #13)")
     p.add_argument("--clip_grad", action="store_true")
     p.add_argument("--vidlt", type=float, default=2.0)
     p.add_argument("--GP_init", type=float, default=2.0)
@@ -153,7 +155,8 @@ def run_experiment(args) -> dict:
                 encoder, params["enc"], decoder, params["dec"],
                 params["gp"], vids, beta, key, clip_qs=args.clip_qs,
                 gp_block_impl=args.gp_block_impl,
-                titsias_reference_ce=args.titsias_reference_ce)
+                titsias_reference_ce=args.titsias_reference_ce,
+                entropy_ce=args.entropy_ce)
         return models.pearce_elbo(
             encoder, params["enc"], decoder, params["dec"], vids, beta, key,
             model_lt, elbo_type=args.elbo)

@@ -81,7 +81,8 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
                       gp: BallSVGP, vids: Array, beta, key,
                       clip_qs: bool = False,
                       gp_block_impl: str = "reference",
-                      titsias_reference_ce: bool = False) -> BallOutputs:
+                      titsias_reference_ce: bool = False,
+                      entropy_ce: bool = False) -> BallOutputs:
     """SVGPVAE ELBO on ball videos (reference: build_SVGPVAE_elbo_graph,
     SVGPVAE_model.py:638-715).  Times run 1..T.
 
@@ -121,7 +122,7 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
     inside_elbo_kl = jnp.sum(kl_terms, axis=-1)
     inside_elbo = inside_elbo_recon - inside_elbo_kl
 
-    if gp.config.titsias and not titsias_reference_ce:
+    if entropy_ce or (gp.config.titsias and not titsias_reference_ce):
         # exact sampling-distribution entropy H(p~) instead of the
         # reference's encoder cross-entropy — see forward_pass_svgpvae
         # and PARITY.md #13 (the collapsed bound has no data-fit term
