@@ -580,6 +580,26 @@ def wave19():
     ]
 
 
+def wave20():
+    """Horizon extensions for the entropy-objective records: MNIST
+    Titsias 16k (8k = 0.02693, still the best epoch at the horizon) and
+    SPRITES Titsias 180 ep (90-ep bests landed at epochs 84/89)."""
+    def tit(expid, epochs, timeout):
+        j = mnist_job(expid, ["--elbo", "SVGPVAE_Titsias",
+                              "--epoch_chunk", "50"],
+                      epochs=epochs, timeout=timeout, eval_every=400)
+        return (j[0], [a for a in j[1] if a != "--GECO"], j[2], {})
+
+    cmd = _sprites_full_cmd("tit_180ep_entropy",
+                            ["--elbo", "SVGPVAE_Titsias",
+                             "--opt_regime", "joint-180"])
+    cmd = [a for a in cmd if a != "--GECO"]
+    return [
+        tit("tit_entropy_16k", 16000, 7200),
+        ("tit_180ep_entropy", cmd, 3600, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -591,7 +611,7 @@ def main():
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
-            18: wave18, 19: wave19}[args.wave]()
+            18: wave18, 19: wave19, 20: wave20}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
