@@ -600,6 +600,24 @@ def wave20():
     ]
 
 
+def wave21():
+    """Final horizon pair: MNIST Titsias 32k (16k = 0.02576, still
+    improving) and SPRITES Hensman 180 ep (fair head-to-head against
+    the Titsias-entropy 180-ep record 0.01457)."""
+    def tit(expid, epochs, timeout):
+        j = mnist_job(expid, ["--elbo", "SVGPVAE_Titsias",
+                              "--epoch_chunk", "50"],
+                      epochs=epochs, timeout=timeout, eval_every=800)
+        return (j[0], [a for a in j[1] if a != "--GECO"], j[2], {})
+
+    return [
+        tit("tit_entropy_32k", 32000, 9000),
+        ("hens_180ep",
+         _sprites_full_cmd("hens_180ep", ["--opt_regime", "joint-180"]),
+         3600, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -611,7 +629,8 @@ def main():
             6: wave6, 7: wave7, 8: wave8, 9: wave9,
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
-            18: wave18, 19: wave19, 20: wave20}[args.wave]()
+            18: wave18, 19: wave19, 20: wave20,
+            21: wave21}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
