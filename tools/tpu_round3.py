@@ -618,6 +618,38 @@ def wave21():
     ]
 
 
+def wave22():
+    """Close out the record story: (a) deep-SVIGP ceiling — 4000 ep
+    reached 0.02496 still improving, double to 8000; (b) second seed for
+    the MNIST Titsias 32k record (0.02551); (c) SPRITES Titsias 360 ep
+    (is the 180-ep 0.01457 record converged? best was at epoch 144) and
+    a second seed at 180 ep."""
+    py = sys.executable
+
+    def tit(expid, epochs, timeout, extra=()):
+        j = mnist_job(expid, ["--elbo", "SVGPVAE_Titsias",
+                              "--epoch_chunk", "50", *extra],
+                      epochs=epochs, timeout=timeout, eval_every=800)
+        return (j[0], [a for a in j[1] if a != "--GECO"], j[2], {})
+
+    def sprites_tit(expid, regime, extra=()):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        "--opt_regime", regime, *extra])
+        return (expid, [a for a in cmd if a != "--GECO"], 3600, {})
+
+    return [
+        ("svigp_8k", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                      "SVIGP_Hensman", "--ip_joint", "--GP_joint",
+                      "--ov_joint", "--clip_qs", "--PCA",
+                      "--mnist_data_path", MNIST, "--nr_epochs", "8000",
+                      "--eval_every", "400", "--base_dir", "/tmp/mnist_tpu",
+                      "--expid", "svigp_8k"], 3600, {}),
+        tit("tit_entropy_32k_s1", 32000, 9000, ("--seed", "1")),
+        sprites_tit("tit_360ep_entropy", "joint-360"),
+        sprites_tit("tit_180ep_entropy_s1", "joint-180", ("--seed", "1")),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -630,7 +662,7 @@ def main():
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
             18: wave18, 19: wave19, 20: wave20,
-            21: wave21}[args.wave]()
+            21: wave21, 22: wave22}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
