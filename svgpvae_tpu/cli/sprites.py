@@ -164,6 +164,16 @@ def run_experiment(args) -> dict:
 
     key = jax.random.PRNGKey(args.seed)
     is_svgpvae = "SVGPVAE" in args.elbo
+    if is_svgpvae and any(not s.startswith("joint-")
+                          for s in args.opt_regime):
+        # the reference SPRITES driver also reads only the epoch count
+        # from --opt_regime (SPRITES_experiment.py:317, 376 — the parsed
+        # regime list is never consulted); refuse multi-phase specs loudly
+        # instead of silently training the full joint objective throughout.
+        raise SystemExit("cli.sprites trains jointly only (matching the "
+                         "reference SPRITES driver); use --opt_regime "
+                         "joint-N — phase schedules are an MNIST/Casale "
+                         "feature (cli.mnist)")
 
     net_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     vae = nets.SpritesVAE(L=args.L, dtype=net_dtype)
@@ -376,6 +386,7 @@ def run_experiment(args) -> dict:
 
     nr_epochs, regime = (train.parse_opt_regime(list(args.opt_regime))
                          if is_svgpvae else (args.nr_epochs, None))
+    del regime  # joint-only (guard at the top of run_experiment)
 
     # per-epoch metric streams on one batch of the train set, or of the
     # test_character set under --test_set_metrics (reference:

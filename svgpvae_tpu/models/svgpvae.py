@@ -282,8 +282,11 @@ def forward_pass_svgpvae(
         lagrange_new = lagrange_mult
 
     if bias_analysis:
-        mean_vectors = gpm.mean_vector_bias_analysis(gp_params, aux_data,
-                                                     qnet_mu, qnet_var)
+        # bias_analysis forces the two-pass branch above, whose
+        # posterior_params call has the identical arguments as
+        # mean_vector_bias_analysis (gp/svgp.py:454-458) — reuse its
+        # mu_hat instead of re-running the full (L, m, m) solve.
+        mean_vectors = mu_hat
     else:
         mean_vectors = jnp.zeros((), dtype=dtype)
 

@@ -46,6 +46,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svgpvae_tpu import linalg
 from svgpvae_tpu.linalg import precise as _precise
 
 
@@ -123,9 +124,7 @@ def chol_inverse_ref(M: Array):
     Same contract as the Pallas kernel (M must already be jittered)."""
     chol = jnp.linalg.cholesky(M)
     eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
-    inv = jax.scipy.linalg.cho_solve((chol, True), eye)
-    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
-    return inv, 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+    return linalg.cho_solve(chol, eye), linalg.logdet_from_chol(chol)
 
 
 def _use_pallas() -> bool:
