@@ -650,6 +650,21 @@ def wave22():
     ]
 
 
+def wave23():
+    """The decoder-only ceiling is still dropping (0.02496 @4k ->
+    0.02280 @8k, best at the horizon both times): double once more."""
+    py = sys.executable
+    return [
+        ("svigp_16k", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                       "SVIGP_Hensman", "--ip_joint", "--GP_joint",
+                       "--ov_joint", "--clip_qs", "--PCA",
+                       "--mnist_data_path", MNIST, "--nr_epochs", "16000",
+                       "--eval_every", "800", "--base_dir",
+                       "/tmp/mnist_tpu", "--expid", "svigp_16k"],
+         5400, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -662,7 +677,7 @@ def main():
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
             18: wave18, 19: wave19, 20: wave20,
-            21: wave21, 22: wave22}[args.wave]()
+            21: wave21, 22: wave22, 23: wave23}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
