@@ -214,3 +214,21 @@ def test_svigp_variational_loss_vs_naive():
         want_mean = Knm @ Kmm_inv @ q_mu[l]
         np.testing.assert_allclose(mean_vecs[:, l], want_mean, rtol=1e-6,
                                    atol=1e-9)
+
+
+def test_casale_alpha_straight_through_clamp():
+    """effective_alpha floors the VALUE at ALPHA_FLOOR but keeps an
+    identity gradient below it, so a raw alpha driven under the floor
+    can still recover (ADVICE r2: plain `maximum` froze it one-way)."""
+    from svgpvae_tpu.gp.casale import effective_alpha, ALPHA_FLOOR
+
+    below = jnp.asarray(-0.3)
+    above = jnp.asarray(0.7)
+    # value is the floor up to the a + sg(clamp(a) - a) recomposition
+    # rounding (~1 ulp of |a|)
+    assert float(effective_alpha(below)) == pytest.approx(ALPHA_FLOOR,
+                                                          abs=1e-12)
+    assert float(effective_alpha(above)) == pytest.approx(0.7)
+    # gradient is identity on BOTH sides of the floor
+    assert float(jax.grad(lambda a: effective_alpha(a))(below)) == 1.0
+    assert float(jax.grad(lambda a: effective_alpha(a))(above)) == 1.0
