@@ -665,6 +665,23 @@ def wave23():
     ]
 
 
+def wave24():
+    """SPRITES record hygiene at the converged 360-epoch horizon:
+    (a) second seed for the 0.01368 Titsias record; (b) a bf16 arm —
+    bf16 was quality-matched at 90/180 ep and 1.36x faster, validate it
+    at the record horizon."""
+    def sprites_tit(expid, extra=()):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        "--opt_regime", "joint-360",
+                                        *extra])
+        return (expid, [a for a in cmd if a != "--GECO"], 3600, {})
+
+    return [
+        sprites_tit("tit_360ep_entropy_s1", ("--seed", "1")),
+        sprites_tit("tit_360ep_entropy_bf16", ("--bf16",)),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -677,7 +694,7 @@ def main():
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
             18: wave18, 19: wave19, 20: wave20,
-            21: wave21, 22: wave22, 23: wave23}[args.wave]()
+            21: wave21, 22: wave22, 23: wave23, 24: wave24}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
