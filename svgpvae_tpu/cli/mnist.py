@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ip_joint", action="store_true")
     p.add_argument("--ov_joint", action="store_true")
     p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--lr_decay", type=float, default=None,
+                   help="cosine-decay the lr to lr*LR_DECAY over the full "
+                        "run (SVGPVAE/VAE/SVIGP runs; Casale keeps its "
+                        "fixed 3-way lrs). Off (constant lr, reference "
+                        "semantics) when unset.")
     p.add_argument("--save_model_weights", action="store_true")
     p.add_argument("--dataset", type=str, default="3",
                    choices=["3", "36", "13679"])
@@ -276,7 +281,11 @@ def run_svgpvae(args) -> dict:
 
     mask = train.trainable_mask(params, trainable) if is_svgpvae else None
     print(f"trainable parameters: {utils.count_params(params)}")
-    tx = train.make_optimizer(args.lr, mask=mask)
+    sched_epochs = (train.parse_opt_regime(list(args.opt_regime))[0]
+                    if is_svgpvae else args.nr_epochs)
+    lr = train.lr_schedule(args.lr, args.lr_decay,
+                           sched_epochs * (-(-N_train // args.batch_size)))
+    tx = train.make_optimizer(lr, mask=mask)
     state = train.TrainState.create(params, tx, key, dtype=data_dtype)
     if args.resume_dir:
         ckpt = os.path.join(args.resume_dir, "ckpt")
@@ -837,7 +846,9 @@ def run_svigp(args) -> dict:
             return args.ov_joint
         return True
 
-    tx = train.make_optimizer(args.lr,
+    lr = train.lr_schedule(args.lr, args.lr_decay,
+                           args.nr_epochs * (-(-N_train // args.batch_size)))
+    tx = train.make_optimizer(lr,
                               mask=train.trainable_mask(params, trainable))
     state = train.TrainState.create(params, tx, key)
 

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ip_joint", action="store_true")
     p.add_argument("--GPLVM_joint", action="store_true")
     p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--lr_decay", type=float, default=None,
+                   help="cosine-decay the lr to lr*LR_DECAY over the full "
+                        "run. Off (constant lr, reference semantics) "
+                        "when unset.")
     p.add_argument("--save_model_weights", action="store_true")
     p.add_argument("--show_pics", action="store_true")
     p.add_argument("--beta_schedule_switch", type=int, default=100)
@@ -306,8 +310,12 @@ def run_experiment(args) -> dict:
 
     mask = train.trainable_mask(params, trainable) if is_svgpvae else None
     print(f"trainable parameters: {utils.count_params(params)}")
+    sched_epochs = (train.parse_opt_regime(list(args.opt_regime))[0]
+                    if is_svgpvae else args.nr_epochs)
+    lr = train.lr_schedule(args.lr, args.lr_decay,
+                           sched_epochs * (-(-N_train // batch_size)))
     tx = train.make_optimizer(
-        args.lr, mask=mask,
+        lr, mask=mask,
         clip_grad_value=args.clip_grad_thres if args.clip_grad else None)
     state = train.TrainState.create(params, tx, jax.random.fold_in(key, 202))
     if args.resume_dir:

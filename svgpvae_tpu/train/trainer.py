@@ -48,6 +48,23 @@ def trainable_mask(params, predicate: Callable[[Tuple, Any], bool]):
         lambda path, leaf: bool(predicate(path, leaf)), params)
 
 
+def lr_schedule(lr: float, decay_alpha: Optional[float],
+                total_steps: int):
+    """Constant lr, or cosine decay from `lr` to `lr * decay_alpha` over
+    `total_steps` when `decay_alpha` is given.
+
+    Opt-in extension with no reference analogue — the reference trains
+    every experiment at a constant Adam lr (MNIST_experiment.py:905-910,
+    SPRITES_experiment.py:317) — exposed as `--lr_decay` on the MNIST
+    and SPRITES drivers for record runs past the reference's budgets.
+    """
+    if decay_alpha is None:
+        return lr
+    return optax.cosine_decay_schedule(init_value=lr,
+                                       decay_steps=int(total_steps),
+                                       alpha=float(decay_alpha))
+
+
 def make_optimizer(learning_rate, mask=None,
                    clip_grad_value: Optional[float] = None,
                    clip_grad_norm: Optional[float] = None):

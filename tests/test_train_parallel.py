@@ -343,3 +343,18 @@ def test_multi_epoch_fn_matches_sequential_epochs():
                                    atol=5e-5)
     np.testing.assert_allclose(float(state_m.geco.C_ma),
                                float(state.geco.C_ma), rtol=2e-4)
+
+
+def test_lr_schedule():
+    """--lr_decay helper: constant when off, cosine lr -> lr*alpha."""
+    assert train.lr_schedule(0.01, None, 100) == 0.01
+    s = train.lr_schedule(0.01, 0.1, 1000)
+    assert float(s(0)) == pytest.approx(0.01)
+    assert float(s(1000)) == pytest.approx(0.001)
+    assert float(s(0)) > float(s(500)) > float(s(1000))
+    # make_optimizer accepts the schedule and updates still apply
+    params = {"w": jnp.ones((3,))}
+    tx = train.make_optimizer(s)
+    opt_state = tx.init(params)
+    upd, _ = tx.update({"w": jnp.ones((3,))}, opt_state, params)
+    assert float(jnp.abs(upd["w"]).max()) > 0
