@@ -682,6 +682,39 @@ def wave24():
     ]
 
 
+def wave25():
+    """Exploit the new --lr_decay lever on the three standing records:
+    MNIST Titsias 32k (0.02527), SPRITES Titsias 360ep (0.01368), and
+    the deep-SVIGP ceiling (0.02280 @8k).  All three plateaued under
+    constant lr; cosine decay is the standard way to buy the last bit
+    of convergence."""
+    def tit(expid, epochs, timeout, extra=()):
+        j = mnist_job(expid, ["--elbo", "SVGPVAE_Titsias",
+                              "--epoch_chunk", "50", *extra],
+                      epochs=epochs, timeout=timeout, eval_every=800)
+        return (j[0], [a for a in j[1] if a != "--GECO"], j[2], {})
+
+    def sprites_tit(expid, extra=()):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        "--opt_regime", "joint-360",
+                                        *extra])
+        return (expid, [a for a in cmd if a != "--GECO"], 3600, {})
+
+    py = sys.executable
+    return [
+        tit("tit_32k_lrd01", 32000, 9000, ("--lr_decay", "0.1")),
+        tit("tit_32k_lrd001", 32000, 9000, ("--lr_decay", "0.01")),
+        sprites_tit("tit_360_lrd01", ("--lr_decay", "0.1")),
+        ("svigp_8k_lrd01", [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                            "SVIGP_Hensman", "--ip_joint", "--GP_joint",
+                            "--ov_joint", "--clip_qs", "--PCA",
+                            "--mnist_data_path", MNIST, "--nr_epochs",
+                            "8000", "--eval_every", "400", "--lr_decay",
+                            "0.1", "--base_dir", "/tmp/mnist_tpu",
+                            "--expid", "svigp_8k_lrd01"], 3600, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -694,7 +727,8 @@ def main():
             10: wave10, 11: wave11, 12: wave12, 13: wave13,
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
             18: wave18, 19: wave19, 20: wave20,
-            21: wave21, 22: wave22, 23: wave23, 24: wave24}[args.wave]()
+            21: wave21, 22: wave22, 23: wave23, 24: wave24,
+            25: wave25}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
