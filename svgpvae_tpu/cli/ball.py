@@ -31,6 +31,10 @@ from svgpvae_tpu.utils import plots
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Moving ball experiment")
     p.add_argument("--steps", type=int, default=25000)
+    p.add_argument("--lr_decay", type=float, default=None,
+                   help="cosine-decay the lr to lr*LR_DECAY over --steps. "
+                        "Off (constant lr, reference semantics) when "
+                        "unset.")
     p.add_argument("--beta0", type=float, default=1.0)
     p.add_argument("--elbo", type=str, default="GPVAE_Pearce",
                    choices=["GPVAE_Pearce", "VAE", "NP", "SVGPVAE_Hensman",
@@ -146,7 +150,8 @@ def run_experiment(args) -> dict:
     mask = train.trainable_mask(params, trainable)
     print(f"trainable parameters: {utils.count_params(params)}")
     tx = train.make_optimizer(
-        1e-3, mask=mask if is_svgpvae else None,
+        train.lr_schedule(1e-3, args.lr_decay, args.steps),
+        mask=mask if is_svgpvae else None,
         clip_grad_value=1e5 if args.clip_grad else None)
 
     def outputs_fn(params, vids, key, beta):
