@@ -712,6 +712,11 @@ def wave25():
                             "8000", "--eval_every", "400", "--lr_decay",
                             "0.1", "--base_dir", "/tmp/mnist_tpu",
                             "--expid", "svigp_8k_lrd01"], 3600, {}),
+        ("ball_tit_lrd01",
+         [py, "-m", "svgpvae_tpu.cli.ball", "--elbo", "SVGPVAE_Titsias",
+          "--clip_qs", "--steps", "25000", "--eval_every", "5000",
+          "--lr_decay", "0.1", "--base_dir", "/tmp/ball_tpu",
+          "--expid", "ball_tit_lrd01"], 1500, {}),
     ]
 
 
