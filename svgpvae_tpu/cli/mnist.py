@@ -881,20 +881,53 @@ def run_svigp(args) -> dict:
     steps_done = 0
     t_start = time.time()
     recon_images_cgen = None
-    timer = utils.StepTimer(steps_per_block=n_full)
+    # --epoch_chunk: same scan-of-scans bundling as the SVGPVAE runner —
+    # the SVIGP epoch is only 15 batches, so on the tunneled link the
+    # per-epoch readback (~60 ms) dominates its apparent step time
+    # (driver-measured 4.15 ms/step at 16k epochs vs sub-ms compute)
+    chunk = max(1, args.epoch_chunk)
+    chunk_ok = (chunk > 1 and not args.profile_dir
+                and args.eval_every % chunk == 0
+                and args.nr_epochs % chunk == 0)
+    if args.epoch_chunk > 1 and not chunk_ok:
+        print("warning: --epoch_chunk needs chunk | eval_every and "
+              "| nr_epochs and no --profile_dir; running unchunked")
+        chunk = 1
+    multi_epoch_fn = (train.make_multi_epoch_fn(loss_fn, tx, donate=True,
+                                                shuffle=args.reshuffle)
+                      if chunk > 1 else None)
+    chunk_buf = None
+    tail_inc = 1 if tail_batch is not None else 0
+    timer = utils.StepTimer(
+        steps_per_block=(chunk * (n_full + tail_inc))
+        if multi_epoch_fn else n_full)
     for epoch in range(args.nr_epochs):
-        trace = utils.trace_if(args.profile_dir or "",
-                               enabled=bool(args.profile_dir) and epoch == 1)
-        with trace, (timer if epoch > 0 else contextlib.nullcontext()):
-            state, ms = epoch_fn(state, full_batches)
-            elbos = list(np.asarray(ms["elbo"]))
-            losses = list(np.asarray(ms["recon"]))
-        steps_done += n_full
-        if tail_batch is not None:
-            state, m = step_fn(state, tail_batch)
-            elbos.append(float(m["elbo"]))
-            losses.append(float(m["recon"]))
-            steps_done += 1
+        if multi_epoch_fn is not None:
+            if epoch % chunk == 0:
+                with (timer if epoch > 0 else contextlib.nullcontext()):
+                    state, msc = multi_epoch_fn(state, full_batches,
+                                                tail_batch, chunk)
+                    chunk_buf = {k: np.asarray(msc[k])
+                                 for k in ("elbo", "recon")}
+            i = epoch % chunk
+            elbos = list(chunk_buf["elbo"][i])
+            losses = list(chunk_buf["recon"][i])
+            steps_done += n_full + tail_inc
+        else:
+            trace = utils.trace_if(
+                args.profile_dir or "",
+                enabled=bool(args.profile_dir) and epoch == 1)
+            with trace, (timer if epoch > 0
+                         else contextlib.nullcontext()):
+                state, ms = epoch_fn(state, full_batches)
+                elbos = list(np.asarray(ms["elbo"]))
+                losses = list(np.asarray(ms["recon"]))
+            steps_done += n_full
+            if tail_batch is not None:
+                state, m = step_fn(state, tail_batch)
+                elbos.append(float(m["elbo"]))
+                losses.append(float(m["recon"]))
+                steps_done += 1
         utils.check_finite(elbos, steps_done, state, run_dir)
 
         if (epoch + 1) % args.eval_every == 0:

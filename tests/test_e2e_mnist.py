@@ -55,3 +55,26 @@ def test_multi_digit_two_epochs(tmp_path_factory):
     # glyphs are simpler than MNIST digits; 2 epochs already lands well
     # under a random-decoder's MSE
     assert out["best_cgen_mse"] < 0.2, out["best_cgen_mse"]
+
+
+def test_svigp_epoch_chunk_matches_unchunked(mnist_data):
+    """Deep-SVIGP driver with --epoch_chunk (the SVIGP runner gained the
+    scan-of-scans bundling in round 3): the chunked program must land on
+    the per-epoch loop's trajectory (same cgen to f32 scan tolerance),
+    and this doubles as the first e2e coverage of run_svigp."""
+    def run(extra):
+        args = mnist_cli.build_parser().parse_args([
+            "--elbo", "SVIGP_Hensman", "--PCA", "--clip_qs",
+            "--ip_joint", "--GP_joint", "--ov_joint",
+            "--nr_epochs", "2", "--eval_every", "2",
+            "--mnist_data_path", mnist_data, *extra])
+        mnist_cli.ensure_dataset(args)
+        return mnist_cli.run_svigp(args)
+
+    ref = run([])
+    chunked = run(["--epoch_chunk", "2"])
+    assert np.isfinite(ref["best_cgen_mse"])
+    assert ref["best_cgen_mse"] < 0.15, ref["best_cgen_mse"]
+    np.testing.assert_allclose(chunked["best_cgen_mse"],
+                               ref["best_cgen_mse"], rtol=1e-4)
+    assert int(chunked["state"].step) == int(ref["state"].step)
