@@ -251,6 +251,73 @@ def bench_mnist(peak, titsias=False):
     }
 
 
+def bench_svigp(peak):
+    """Deep-SVIGP (decoder-only Hensman baseline) epoch-scan at the
+    north-star shapes — the family every quality comparison is anchored
+    to (reference: SVIGP_Hensman_model.py:230-289).  Regression guard
+    for its true device step, which the tunneled driver obscures
+    (~60 ms/epoch readback over 15-batch epochs reads as ~4 ms/step)."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import gp as gpm
+    from svgpvae_tpu import models, nn as nets, train
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+
+    b, L, M, m, n_obj, N_train, n_batches = 256, 16, 8, 32, 400, 4050, 15
+    if SMOKE:
+        b, n_batches = 32, 2
+
+    decoder = nets.SVIGPDecoder(L=L)
+    dec_params = decoder.init(key, jnp.zeros((2, L)))
+    ip = np.hstack([np.arange(m)[:, None], rng.rand(m, 1) * 2 * np.pi,
+                    rng.randn(m, M)])
+    gp = gpm.init_svigp(ip, rng.randn(n_obj, M), L=L, N_train=N_train)
+    params = {"dec": dec_params, "gp": gp}
+
+    images = jnp.asarray(rng.rand(n_batches, b, 28, 28, 1), jnp.float32)
+    # aux rows: [global_index, id, angle, pca...] (cli.mnist.run_svigp)
+    aux = jnp.asarray(np.stack([np.hstack([
+        rng.randint(0, N_train, (b, 1)).astype(float),
+        rng.randint(0, n_obj, (b, 1)).astype(float),
+        rng.rand(b, 1) * 2 * np.pi, rng.randn(b, M)])
+        for _ in range(n_batches)]), jnp.float32)
+    batches = (images, aux)
+
+    def loss_fn(params, batch, key, geco, step):
+        out = models.forward_pass_deep_svigp(decoder, params["dec"],
+                                             params["gp"], batch)
+        return -out.elbo, (geco, {"recon": out.recon_loss})
+
+    tx = train.make_optimizer(1e-3)
+    state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
+
+    epoch_fn, flops_epoch, bytes_epoch = _aot(epoch_fn, state, batches)
+    state, metrics = epoch_fn(state, batches)  # warmup
+    float(metrics["recon"][-1])
+
+    reps = 2 if SMOKE else 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = epoch_fn(state, batches)
+    final = float(metrics["recon"][-1])
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final), "SVIGP step produced non-finite values"
+
+    steps_per_sec = reps * n_batches / elapsed
+    return {
+        "steps_per_sec": round(steps_per_sec, 1),
+        "ms_per_step": round(1e3 / steps_per_sec, 4),
+        "flops_per_step": flops_epoch / n_batches if flops_epoch else None,
+        "mfu": _mfu(flops_epoch, reps / elapsed, peak),
+        "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
+        "config": f"batch {b}, 28x28x1, L{L}, M{M}, m{m}, "
+                  "deep-SVIGP, epoch-scan",
+    }
+
+
 def bench_sprites_train(peak):
     """SPRITES SVGPVAE-Hensman GECO train step at reference scale:
     batch 500 (10 chars x 50 frames), 64x64x3, L=64, m=72 IPs
@@ -726,6 +793,7 @@ def main() -> None:
                      ("mnist_titsias_train",
                       lambda: bench_mnist(peak, titsias=True)),
                      ("mnist_eval", lambda: bench_mnist_eval(peak)),
+                     ("svigp_train", lambda: bench_svigp(peak)),
                      ("sprites_train", lambda: bench_sprites_train(peak)),
                      ("sprites_eval", lambda: bench_sprites_eval(peak)),
                      ("sprites_precompute", bench_sprites_precompute),

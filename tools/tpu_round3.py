@@ -720,6 +720,29 @@ def wave25():
     ]
 
 
+def wave26():
+    """The SVIGP runner gained --epoch_chunk (commit bc21bf2).  Wave-23's
+    16k-epoch run spent 1951 s at a driver-apparent 3.9 ms/step — almost
+    all per-epoch tunnel readback (15-batch epochs).  (1) re-run 16k
+    chunked for the wall + quality-equivalence comparison; (2) extend the
+    decoder-only ceiling line to 32k epochs now that it is affordable."""
+    py = sys.executable
+
+    def svigp(expid, epochs, timeout):
+        return (expid,
+                [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+                 "SVIGP_Hensman", "--ip_joint", "--GP_joint", "--ov_joint",
+                 "--clip_qs", "--PCA", "--mnist_data_path", MNIST,
+                 "--nr_epochs", str(epochs), "--eval_every", "800",
+                 "--epoch_chunk", "50", "--base_dir", "/tmp/mnist_tpu",
+                 "--expid", expid], timeout, {})
+
+    return [
+        svigp("svigp_16k_chunk50", 16000, 2400),
+        svigp("svigp_32k_chunk50", 32000, 4200),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -733,7 +756,7 @@ def main():
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
             18: wave18, 19: wave19, 20: wave20,
             21: wave21, 22: wave22, 23: wave23, 24: wave24,
-            25: wave25}[args.wave]()
+            25: wave25, 26: wave26}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
