@@ -743,6 +743,36 @@ def wave26():
     ]
 
 
+def wave27():
+    """Converged-horizon completeness: (1) SPRITES Hensman+GECO at the
+    360-epoch horizon where Titsias converged (0.01368/0.01398) — two
+    seeds, since the Hensman family showed ~35% run spread at 180 ep —
+    so the SPRITES family ordering is converged-vs-converged; (2) ball
+    horizon extension to 100k steps (4x canonical) for both bounds under
+    their record configs (~25 s train each at ~4600 steps/s)."""
+    py = sys.executable
+
+    def ball(expid, elbo, extra=()):
+        return (expid,
+                [py, "-m", "svgpvae_tpu.cli.ball", "--elbo", elbo,
+                 "--clip_qs", "--steps", "100000", "--eval_every",
+                 "10000", "--base_dir", "/tmp/ball_tpu",
+                 "--expid", expid, *extra], 900, {})
+
+    return [
+        ("hens_360",
+         _sprites_full_cmd("hens_360", ["--opt_regime", "joint-360"]),
+         3600, {}),
+        ("hens_360_s1",
+         _sprites_full_cmd("hens_360_s1", ["--opt_regime", "joint-360",
+                                           "--seed", "1"]),
+         3600, {}),
+        ball("ball_hens_entropy_100k", "SVGPVAE_Hensman",
+             ("--entropy_ce",)),
+        ball("ball_tit_100k", "SVGPVAE_Titsias"),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -756,7 +786,7 @@ def main():
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
             18: wave18, 19: wave19, 20: wave20,
             21: wave21, 22: wave22, 23: wave23, 24: wave24,
-            25: wave25, 26: wave26}[args.wave]()
+            25: wave25, 26: wave26, 27: wave27}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
