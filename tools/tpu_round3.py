@@ -773,6 +773,44 @@ def wave27():
     ]
 
 
+def wave28():
+    """Wave-27 found every arm still improving at its horizon: SPRITES
+    Hensman 360ep peaked at epochs 359/349 (0.01383/0.01185 — the latter
+    a new overall record) and ball 100k beat 25k by ~5% (6.376/6.380).
+    Extend: SPRITES 540ep (both Hensman seeds + a Titsias fairness arm),
+    ball 250k steps, then a full bench.py refresh on the quiet chip so
+    BENCH_LAST_GOOD includes the new svigp_train line."""
+    py = sys.executable
+
+    def ball(expid, elbo, extra=()):
+        return (expid,
+                [py, "-m", "svgpvae_tpu.cli.ball", "--elbo", elbo,
+                 "--clip_qs", "--steps", "250000", "--eval_every",
+                 "25000", "--base_dir", "/tmp/ball_tpu",
+                 "--expid", expid, *extra], 1200, {})
+
+    def sprites(expid, extra=()):
+        return (expid,
+                _sprites_full_cmd(expid, ["--opt_regime", "joint-540",
+                                          *extra]), 5400, {})
+
+    def sprites_tit(expid, extra=()):
+        cmd = _sprites_full_cmd(expid, ["--elbo", "SVGPVAE_Titsias",
+                                        "--opt_regime", "joint-540",
+                                        *extra])
+        return (expid, [a for a in cmd if a != "--GECO"], 5400, {})
+
+    return [
+        sprites("hens_540"),
+        sprites("hens_540_s1", ("--seed", "1")),
+        sprites_tit("tit_540"),
+        ball("ball_hens_entropy_250k", "SVGPVAE_Hensman",
+             ("--entropy_ce",)),
+        ball("ball_tit_250k", "SVGPVAE_Titsias"),
+        ("bench_refresh", [py, os.path.join(ROOT, "bench.py")], 3000, {}),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -786,7 +824,8 @@ def main():
             14: wave14, 15: wave15, 16: wave16, 17: wave17,
             18: wave18, 19: wave19, 20: wave20,
             21: wave21, 22: wave22, 23: wave23, 24: wave24,
-            25: wave25, 26: wave26, 27: wave27}[args.wave]()
+            25: wave25, 26: wave26, 27: wave27,
+            28: wave28}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
