@@ -811,6 +811,32 @@ def wave28():
     ]
 
 
+def wave29():
+    """MNIST converged-vs-converged follow-up to the wave-27 SPRITES
+    finding (Hensman matches/beats Titsias once given the budget it
+    needs): (1) Hensman+GECO at 32k epochs — its 8k 'plateau' (0.02806,
+    flat 4k->8k at kappa^2 0.020/0.016) may be another horizon artifact;
+    run both kappa^2 values.  (2) Titsias + GECO under the entropy
+    objective — the records (0.02527) train unconstrained; GECO's recon
+    constraint is what pushed Hensman from 0.033 to 0.028."""
+    def mn(expid, extra=()):
+        j = mnist_job(expid, ["--epoch_chunk", "50", *extra],
+                      epochs=32000, timeout=9000, eval_every=800)
+        return j + ({},)
+
+    def tit(expid, extra=()):
+        j = mnist_job(expid, ["--elbo", "SVGPVAE_Titsias",
+                              "--epoch_chunk", "50", *extra],
+                      epochs=32000, timeout=9000, eval_every=800)
+        return j + ({},)  # keeps --GECO (unlike the record runs)
+
+    return [
+        mn("hens_32k"),
+        mn("hens_32k_k016", ("--kappa_squared", "0.016")),
+        tit("tit_32k_geco"),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -825,7 +851,7 @@ def main():
             18: wave18, 19: wave19, 20: wave20,
             21: wave21, 22: wave22, 23: wave23, 24: wave24,
             25: wave25, 26: wave26, 27: wave27,
-            28: wave28}[args.wave]()
+            28: wave28, 29: wave29}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
