@@ -837,6 +837,35 @@ def wave29():
     ]
 
 
+def wave30():
+    """Follow-ups to the wave-29 record (Hensman kappa^2 0.016 x 32k =
+    0.02512, new best amortized MNIST): (1) seed-1 confirm (the MNIST
+    Hensman seed band is ~2-3%); (2) kappa^2 0.012 — does tightening
+    keep paying at the converged horizon (0.020 -> 0.016 bought 5.5%)?
+    (3) transfer to SPRITES: its kappa^2 default is 0.0075; run a
+    tightened 0.006 arm x2 seeds at the converged 360-epoch horizon
+    (the family's run spread there is ~15%, so one seed is
+    uninterpretable)."""
+    def mn(expid, extra=()):
+        j = mnist_job(expid, ["--epoch_chunk", "50", *extra],
+                      epochs=32000, timeout=9000, eval_every=800)
+        return j + ({},)
+
+    def sp(expid, extra=()):
+        return (expid,
+                _sprites_full_cmd(expid, ["--opt_regime", "joint-360",
+                                          *extra]), 5400, {})
+
+    return [
+        mn("hens_32k_k016_s1", ("--kappa_squared", "0.016",
+                                "--seed", "1")),
+        mn("hens_32k_k012", ("--kappa_squared", "0.012")),
+        sp("sp_360_k006", ("--kappa_squared", "0.006")),
+        sp("sp_360_k006_s1", ("--kappa_squared", "0.006",
+                              "--seed", "1")),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -851,7 +880,7 @@ def main():
             18: wave18, 19: wave19, 20: wave20,
             21: wave21, 22: wave22, 23: wave23, 24: wave24,
             25: wave25, 26: wave26, 27: wave27,
-            28: wave28, 29: wave29}[args.wave]()
+            28: wave28, 29: wave29, 30: wave30}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
