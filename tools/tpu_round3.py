@@ -866,6 +866,33 @@ def wave30():
     ]
 
 
+def wave31():
+    """Statistical close-out of the standing records (both are best-of-2
+    with measured ~4%/15% seed bands): (1) SPRITES Hensman 360ep seeds
+    2+3 — the 0.01185 record is a single-seed draw; (2) MNIST Hensman
+    kappa^2 0.016 x 32k seed 2 — third seed for the headline; (3) the
+    one missing bf16 arm: Hensman+GECO `--bf16` at the SPRITES converged
+    horizon (Titsias bf16 plateaued ~8% above f32 there; does the same
+    noise floor bind for Hensman?)."""
+    def mn(expid, extra=()):
+        j = mnist_job(expid, ["--epoch_chunk", "50", *extra],
+                      epochs=32000, timeout=9000, eval_every=800)
+        return j + ({},)
+
+    def sp(expid, extra=()):
+        return (expid,
+                _sprites_full_cmd(expid, ["--opt_regime", "joint-360",
+                                          *extra]), 5400, {})
+
+    return [
+        sp("hens_360_s2", ("--seed", "2")),
+        sp("hens_360_s3", ("--seed", "3")),
+        mn("hens_32k_k016_s2", ("--kappa_squared", "0.016",
+                                "--seed", "2")),
+        sp("hens_360_bf16", ("--bf16",)),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -880,7 +907,7 @@ def main():
             18: wave18, 19: wave19, 20: wave20,
             21: wave21, 22: wave22, 23: wave23, 24: wave24,
             25: wave25, 26: wave26, 27: wave27,
-            28: wave28, 29: wave29, 30: wave30}[args.wave]()
+            28: wave28, 29: wave29, 30: wave30, 31: wave31}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
