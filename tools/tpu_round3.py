@@ -176,6 +176,7 @@ def _sprites_full_cmd(expid, extra):
     py = sys.executable
     return [py, "-m", "svgpvae_tpu.cli.sprites", "--elbo",
             "SVGPVAE_Hensman", "--GECO", "--clip_qs", "--synthetic",
+            "--synthetic_chars", "1000",  # full reference scale: N_train=50k
             "--sprites_data_path", "/tmp/sprites_full/", "--ip_joint",
             "--GPLVM_joint", "--PCA", "--object_kernel_normalize",
             "--clip_grad", "--opt_regime", "joint-30", "--eval_every", "5",
