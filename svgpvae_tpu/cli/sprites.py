@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic stand-in corpus if needed")
     p.add_argument("--synthetic_chars", type=int, default=12)
+    p.add_argument("--corpus_seed", type=int, default=0,
+                   help="RNG seed for the synthetic corpus draw, kept "
+                        "separate from --seed so seed studies vary only "
+                        "the training RNG on a fixed dataset")
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume_dir", type=str, default=None,
@@ -120,16 +124,36 @@ def build_parser() -> argparse.ArgumentParser:
 
 def ensure_dataset(args) -> None:
     if os.path.isdir(os.path.join(args.sprites_data_path, "train")):
+        if args.synthetic:
+            # Guard against silently training on a stale corpus of a
+            # different scale (observed once: a 600-frame leftover at the
+            # full-corpus path — tools/tpu_round3.py wave-3 note).
+            import glob as _glob
+            import numpy as _np
+            n_train = sum(
+                len(_np.load(s)["aux_data"]) for s in
+                _glob.glob(os.path.join(args.sprites_data_path,
+                                        "train", "*.npz")))
+            expect = args.synthetic_chars * 50
+            if n_train != expect:
+                print(f"WARNING: existing corpus at {args.sprites_data_path} "
+                      f"has N_train={n_train}, but --synthetic_chars "
+                      f"{args.synthetic_chars} implies {expect}; reusing the "
+                      "existing corpus (delete the directory to regenerate)")
         return
     assert args.synthetic, (
         "no SPRITES shards found; provide preprocessed data "
         "(data.save_sprites_shards) or pass --synthetic")
     print("generating synthetic SPRITES corpus "
           f"({args.synthetic_chars} train characters)")
+    # The corpus draw is seeded independently of the training seed
+    # (--corpus_seed, default 0): multi-seed record confirmation varies
+    # only the init/shuffle RNG on a FIXED dataset, matching how the
+    # round-2/3 record corpus at /tmp/sprites_full was produced.
     splits = data.generate_synthetic_sprites(
         n_train_chars=args.synthetic_chars,
         n_test_chars=max(2, args.synthetic_chars // 4),
-        n_frames_train=50, seed=args.seed)
+        n_frames_train=50, seed=args.corpus_seed)
     data.save_sprites_shards(splits, args.sprites_data_path)
 
 
