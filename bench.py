@@ -167,12 +167,14 @@ def _hbm_util(bytes_per_call, calls_per_sec):
 # workloads
 # ---------------------------------------------------------------------------
 
-def bench_mnist(peak, titsias=False):
+def bench_mnist(peak, titsias=False, n_digits=1):
     """North-star MNIST SVGPVAE epoch-scan: Hensman+GECO by default;
     titsias=True benches the collapsed-L_T bound instead (no GECO, like
     cli.mnist --elbo SVGPVAE_Titsias) — regression guard for the
     determinant-lemma bound (PARITY.md #12), which replaced the
-    reference's O(L b^3) dense covariance Cholesky."""
+    reference's O(L b^3) dense covariance Cholesky.  n_digits>1 benches
+    the multi-digit config (--dataset 36: N_train=8100, 800-object GPLVM
+    table — the config that trained to cgen 0.02669, RESULTS.md r3)."""
     import jax.numpy as jnp
     import jax
     from svgpvae_tpu import gp as gpm
@@ -183,7 +185,9 @@ def bench_mnist(peak, titsias=False):
     key = jax.random.PRNGKey(0)
 
     # north-star sizes; one epoch = 15 full batches of the N_train=4050 set
-    b, L, M, m, n_obj, N_train, n_batches = 256, 16, 8, 32, 400, 4050, 15
+    b, L, M, m = 256, 16, 8, 32
+    n_obj, N_train = 400 * n_digits, 4050 * n_digits
+    n_batches = N_train // b
     if SMOKE:
         b, n_batches = 32, 2
 
@@ -230,7 +234,7 @@ def bench_mnist(peak, titsias=False):
     state, metrics = epoch_fn(state, batches)  # warmup
     float(metrics["recon"][-1])
 
-    reps = 2 if SMOKE else 20
+    reps = 2 if SMOKE else (10 if n_digits > 1 else 20)
     t0 = time.perf_counter()
     for _ in range(reps):
         state, metrics = epoch_fn(state, batches)
@@ -247,6 +251,7 @@ def bench_mnist(peak, titsias=False):
         "mfu": _mfu(flops_epoch, reps / elapsed, peak),
         "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
         "config": (f"batch {b}, 28x28x1, L{L}, M{M}, m{m}, "
+                   f"{n_digits * 400}-obj GPLVM, "
                    f"{'Titsias' if titsias else 'GECO'}, epoch-scan"),
     }
 
@@ -690,6 +695,140 @@ def bench_ball(peak):
     }
 
 
+def bench_casale(peak):
+    """Casale GPVAE joint-regime train step at reference scale: every
+    step encodes the ENTIRE train set (N=4050) to build the Kronecker-V
+    Taylor coefficients, then runs the batch forward (reference:
+    MNIST_experiment.py:861-881 — the graph feeds the whole train set per
+    sess.run, :1020-1023).  Regression guard for the weakest-quality
+    family (VERDICT r3 item 6)."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import gp as gpm
+    from svgpvae_tpu import models, nn as nets, train
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    b, L, M, P, Q, N = 256, 16, 8, 400, 15, 4050
+    n_batches = 5  # each step re-encodes the full set; 5 steps suffice
+    if SMOKE:
+        b, P, Q, N, n_batches = 32, 20, 5, 80, 2
+
+    vae = nets.MnistVAE(L=L)
+    vae_params = vae.init(key, jnp.zeros((2, 28, 28, 1)))
+    gp = gpm.init_casale_gp(rng.randn(P, M), object_kernel_normalize=False,
+                            ov_joint=True)
+    angles = np.sort(rng.rand(Q) * 2 * np.pi)
+    mask = np.zeros(P * Q, bool)
+    mask[rng.choice(P * Q, N, replace=False)] = True
+    mask_j = jnp.asarray(gpm.mask_to_indices(mask))
+    angles_j = jnp.asarray(angles, jnp.float32)
+    oid_j = jnp.arange(P)
+    params = {"vae": vae_params, "gp": gp}
+
+    full_images = jnp.asarray(rng.rand(N, 28, 28, 1), jnp.float32)
+    ids = np.repeat(np.arange(P), Q)[mask]
+    angs = np.tile(angles, P)[mask]
+    aux_all = np.hstack([np.arange(N)[:, None].astype(float),
+                         ids[:, None].astype(float), angs[:, None]])
+    rows = rng.randint(0, N, (n_batches, b))
+    batches = (full_images[rows.reshape(-1)].reshape(n_batches, b,
+                                                     28, 28, 1),
+               jnp.asarray(aux_all[rows.reshape(-1)].reshape(
+                   n_batches, b, -1), jnp.float32))
+
+    def loss_fn(params, batch, key, geco, step):
+        k1, k2 = jax.random.split(key)
+        Z = models.encode_full_casale(vae, params["vae"], full_images, k1,
+                                      clip_qs=True)
+        V = gpm.v_matrix(params["gp"], angles_j, oid_j, mask_j)
+        a, B, c = gpm.taylor_coeffs(params["gp"], Z, V)
+        out = models.forward_pass_casale(vae, params["vae"], params["gp"],
+                                         batch, k2, a, B, c, V, 0.001,
+                                         clip_qs=True)
+        return out.elbo, (geco, {"recon": out.recon_loss})
+
+    tx = train.make_optimizer(0.001)
+    state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
+    epoch_fn = train.make_epoch_fn(loss_fn, tx, donate=True)
+    epoch_fn, flops_epoch, bytes_epoch = _aot(epoch_fn, state, batches)
+    state, metrics = epoch_fn(state, batches)
+    float(metrics["recon"][-1])
+
+    reps = 2 if SMOKE else 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = epoch_fn(state, batches)
+    final = float(metrics["recon"][-1])
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final), "casale step produced non-finite values"
+
+    steps_per_sec = reps * n_batches / elapsed
+    return {
+        "steps_per_sec": round(steps_per_sec, 1),
+        "ms_per_step": round(1e3 / steps_per_sec, 3),
+        "flops_per_step": flops_epoch / n_batches if flops_epoch else None,
+        "mfu": _mfu(flops_epoch, reps / elapsed, peak),
+        "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
+        "config": f"batch {b}, full-train encode N={N}/step, P{P} Q{Q}, "
+                  "3-way joint regime",
+    }
+
+
+def bench_pearce(peak):
+    """Moving-ball GPVAE-Pearce (exact dense per-channel 1-D GPs,
+    reference: GPVAE_Pearce_model.py:89-236) sample->train chunks — the
+    first throughput guard for the exact-GP baseline family (VERDICT r3
+    item 6)."""
+    import jax
+    import jax.numpy as jnp
+    from svgpvae_tpu import data, models, nn as nets, train
+
+    batch, px, py_, tmax = 35, 32, 32, 30
+    key = jax.random.PRNGKey(0)
+    encoder = nets.BallEncoder()
+    decoder = nets.BallDecoder(px=px, py=py_)
+    enc_params = encoder.init(key, jnp.zeros((batch, tmax, px, py_)))
+    dec_params = decoder.init(key, jnp.zeros((batch, tmax, 2)))
+    params = {"enc": enc_params, "dec": dec_params}
+
+    def loss_fn(params, vids, key, geco, step):
+        out = models.pearce_elbo(encoder, params["enc"], decoder,
+                                 params["dec"], vids, 1.0, key, 2.0)
+        return -jnp.mean(out.elbo), (geco, {"elbo": jnp.mean(out.elbo)})
+
+    video_fn = data.make_video_batch_fn(tmax=tmax, px=px, py=py_, lt=2.0,
+                                        batch=batch, r=3.0)
+    tx = train.make_optimizer(1e-3)
+    state = train.TrainState.create(params, tx, key)
+    chunk = 10 if SMOKE else 100
+    chunk_fn = train.make_generative_chunk_fn(loss_fn, tx, video_fn, chunk,
+                                              donate=False)
+    dkey = jax.random.PRNGKey(1)
+    chunk_fn, flops_chunk, bytes_chunk = _aot(chunk_fn, state, dkey)
+
+    state, dkey, ms = chunk_fn(state, dkey)
+    float(ms["elbo"][-1])
+    reps = 1 if SMOKE else 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, dkey, ms = chunk_fn(state, dkey)
+    final = float(ms["elbo"][-1])
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final), "pearce step produced non-finite values"
+
+    steps_per_sec = reps * chunk / elapsed
+    return {
+        "steps_per_sec": round(steps_per_sec, 1),
+        "ms_per_step": round(1e3 / steps_per_sec, 4),
+        "flops_per_step": flops_chunk / chunk if flops_chunk else None,
+        "mfu": _mfu(flops_chunk, reps / elapsed, peak),
+        "hbm_util": _hbm_util(bytes_chunk, reps / elapsed),
+        "config": f"batch {batch}, T={tmax}, 32x32, exact dense GP, "
+                  f"on-device video gen, {chunk}-step chunks",
+    }
+
+
 def bench_batch_scaling(peak):
     """Batch-scaling probe with device-GENERATED data: the MNIST train
     step at batch 256..4096 where images/aux are produced by jax.random
@@ -792,12 +931,16 @@ def main() -> None:
     for name, fn in (("mnist_train", lambda: bench_mnist(peak)),
                      ("mnist_titsias_train",
                       lambda: bench_mnist(peak, titsias=True)),
+                     ("mnist36_train",
+                      lambda: bench_mnist(peak, n_digits=2)),
                      ("mnist_eval", lambda: bench_mnist_eval(peak)),
                      ("svigp_train", lambda: bench_svigp(peak)),
+                     ("casale_train", lambda: bench_casale(peak)),
                      ("sprites_train", lambda: bench_sprites_train(peak)),
                      ("sprites_eval", lambda: bench_sprites_eval(peak)),
                      ("sprites_precompute", bench_sprites_precompute),
-                     ("ball_train", lambda: bench_ball(peak))):
+                     ("ball_train", lambda: bench_ball(peak)),
+                     ("pearce_train", lambda: bench_pearce(peak))):
         if only and name not in only.split(","):
             continue
         t0 = time.perf_counter()

@@ -138,6 +138,13 @@ def run_experiment(args) -> dict:
             length_scale_init=args.GP_init if args.GP_joint else args.vidlt)
         gp = gp.replace(config=cfg)
         params["gp"] = gp
+    elif args.GP_joint and args.elbo != "VAE":
+        # Pearce/NP exact-GP length scales, one trainable per latent
+        # channel (reference: GPVAE_Pearce_model.py:36-42 creates an
+        # l_GP variable per build_1d_gp call, init GP_init)
+        params["gp"] = {
+            "length_scale_x": jnp.asarray(args.GP_init, jnp.float32),
+            "length_scale_y": jnp.asarray(args.GP_init, jnp.float32)}
 
     def trainable(path, leaf):
         name = jax.tree_util.keystr(path)
@@ -162,9 +169,13 @@ def run_experiment(args) -> dict:
                 gp_block_impl=args.gp_block_impl,
                 titsias_reference_ce=args.titsias_reference_ce,
                 entropy_ce=args.entropy_ce)
+        ls = ((params["gp"]["length_scale_x"],
+               params["gp"]["length_scale_y"])
+              if "gp" in params else model_lt)
         return models.pearce_elbo(
             encoder, params["enc"], decoder, params["dec"], vids, beta, key,
-            model_lt, elbo_type=args.elbo)
+            ls, elbo_type=args.elbo, context_length_scale=model_lt,
+            entropy_ce=args.entropy_ce)
 
     def loss_fn(params, vids, key, geco, step):
         out = outputs_fn(params, vids, key, args.beta0)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from svgpvae_tpu import data, models, train, utils
+from svgpvae_tpu import data, models, parallel, train, utils
 from svgpvae_tpu import gp as gpm
 from svgpvae_tpu import nn as nets
 from svgpvae_tpu.gp.svgp import SVGPConfig
@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic stand-in corpus if needed")
     p.add_argument("--synthetic_chars", type=int, default=12)
+    p.add_argument("--allow_stale_corpus", action="store_true",
+                   help="reuse an existing corpus at --sprites_data_path "
+                        "even when its N_train does not match "
+                        "--synthetic_chars (default: fail hard so "
+                        "unattended runs cannot silently train on a "
+                        "leftover corpus of a different scale)")
     p.add_argument("--corpus_seed", type=int, default=0,
                    help="RNG seed for the synthetic corpus draw, kept "
                         "separate from --seed so seed studies vary only "
@@ -119,27 +125,85 @@ def build_parser() -> argparse.ArgumentParser:
                         "epoch-scan program (the reference's tf.data "
                         "semantics); default keeps one fixed batch order "
                         "(PARITY.md divergence #9)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="train data-parallel over this many devices "
+                        "(-1 = all): parameters replicated, each batch "
+                        "sharded over a jax.sharding.Mesh data axis "
+                        "(gradient psum over ICI via SPMD).  Requires "
+                        "batch_size %% devices == 0; the repr-net "
+                        "segment-mean over frames_per_char blocks is "
+                        "handled by GSPMD even when a character's 50 "
+                        "frames straddle a device boundary (certified "
+                        "by tests/test_e2e_sprites.py).  0 disables.")
     return p
 
 
+def _count_corpus_rows(train_dir: str):
+    """Total train rows across shards, or None if any shard is unreadable
+    (a partially-written corpus from an interrupted save_sprites_shards
+    must count as invalid, not crash the guard)."""
+    import glob as _glob
+    n = 0
+    for s in sorted(_glob.glob(os.path.join(train_dir, "*.npz"))):
+        try:
+            with np.load(s) as z:
+                n += len(z["aux_data"])
+        except Exception as e:  # truncated/corrupt shard
+            print(f"corpus shard {s} unreadable ({e}); treating the corpus "
+                  "as invalid")
+            return None
+    return n
+
+
 def ensure_dataset(args) -> None:
-    if os.path.isdir(os.path.join(args.sprites_data_path, "train")):
-        if args.synthetic:
-            # Guard against silently training on a stale corpus of a
-            # different scale (observed once: a 600-frame leftover at the
-            # full-corpus path — tools/tpu_round3.py wave-3 note).
-            import glob as _glob
-            import numpy as _np
-            n_train = sum(
-                len(_np.load(s)["aux_data"]) for s in
-                _glob.glob(os.path.join(args.sprites_data_path,
-                                        "train", "*.npz")))
-            expect = args.synthetic_chars * 50
-            if n_train != expect:
-                print(f"WARNING: existing corpus at {args.sprites_data_path} "
-                      f"has N_train={n_train}, but --synthetic_chars "
-                      f"{args.synthetic_chars} implies {expect}; reusing the "
-                      "existing corpus (delete the directory to regenerate)")
+    train_dir = os.path.join(args.sprites_data_path, "train")
+    if os.path.isdir(train_dir):
+        if not args.synthetic:
+            return
+        # Guard against silently training on a stale corpus of a
+        # different scale (incident: a full-scale bench reused a
+        # 600-frame leftover at /tmp/sprites_full — tools/tpu_round3.py
+        # wave-3 note).  Unattended queue runs must not proceed past a
+        # mismatch, so the default is fail-hard; --allow_stale_corpus
+        # opts back into reuse, and an unreadable (partially written)
+        # corpus is deleted and regenerated.
+        n_train = _count_corpus_rows(train_dir)
+        expect = args.synthetic_chars * 50
+        if n_train == expect:
+            return
+        if n_train is None:
+            print(f"existing corpus at {args.sprites_data_path} is "
+                  "unreadable; deleting and regenerating")
+            import shutil
+            shutil.rmtree(args.sprites_data_path)
+        elif args.allow_stale_corpus:
+            print(f"WARNING: existing corpus at {args.sprites_data_path} "
+                  f"has N_train={n_train}, but --synthetic_chars "
+                  f"{args.synthetic_chars} implies {expect}; reusing it "
+                  "(--allow_stale_corpus)")
+            return
+        else:
+            raise SystemExit(
+                f"existing corpus at {args.sprites_data_path} has "
+                f"N_train={n_train}, but --synthetic_chars "
+                f"{args.synthetic_chars} implies {expect}; delete the "
+                "directory to regenerate, or pass --allow_stale_corpus "
+                "to reuse it anyway")
+    # real raw corpus in the published npy layout (the external sprites
+    # repo's {action}_{direction}_{frames,attributes}_{train,test}.npy
+    # files, consumed by the reference via sprites_act —
+    # SPRITES_utils.py:20,66): preprocess once into shards, zero code
+    # change for day-one real-data runs.
+    if data.has_raw_sprites_npys(args.sprites_data_path):
+        print(f"raw sprites npy corpus found at {args.sprites_data_path}; "
+              "preprocessing (50 train frames/char, reference "
+              "SPRITES_experiment.py:37)")
+        x_tr, x_te, a_tr, a_te, d_tr, d_te = data.load_raw_sprites_npys(
+            args.sprites_data_path)
+        splits = data.preprocess_sprites(x_tr, a_tr, d_tr, x_te, a_te,
+                                         d_te, n_frames_train=50,
+                                         seed=args.corpus_seed)
+        data.save_sprites_shards(splits, args.sprites_data_path)
         return
     assert args.synthetic, (
         "no SPRITES shards found; provide preprocessed data "
@@ -383,6 +447,18 @@ def run_experiment(args) -> dict:
                                   train_action_dev)
     n_full = main_batches[0].shape[0]
     tail_n = N_train - n_full * batch_size
+
+    # --data_parallel: state replicated, each scanned batch sharded on the
+    # frame axis.  A device shard need NOT align with the 50-frame
+    # character blocks — the aux path's reshape-mean-broadcast
+    # (models.sprites_aux_data) is partitioned by GSPMD with the needed
+    # cross-device collectives; equivalence vs single-device is pinned in
+    # tests/test_e2e_sprites.py.  The tail runs replicated.
+    mesh = parallel.resolve_data_parallel(args.data_parallel, batch_size)
+    if mesh is not None:
+        print(f"data-parallel training over {mesh.devices.size} devices")
+        state = parallel.replicate(mesh, state)
+        main_batches = parallel.shard_stacked_batches(mesh, main_batches)
 
     @jax.jit
     def test_recon_fn(params, batch, key, geco):
@@ -638,7 +714,8 @@ def run_experiment(args) -> dict:
     if run_dir and args.save_model_weights:
         utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
                               steps_done)
-    result = {"steps_per_sec": run_steps / max(elapsed, 1e-9)}
+    result = {"steps_per_sec": run_steps / max(elapsed, 1e-9),
+              "run_dir": run_dir}
     if cgen_history:
         best = min(cgen_history, key=lambda x: x[1])
         print(f"best cgen MSE {best[1]:.5f} at epoch {best[0]}")

@@ -10,6 +10,7 @@ from svgpvae_tpu.data.mnist import (  # noqa: F401
     generate_rotated_mnist,
     derive_base_images_from_eval,
     synthetic_digit_base_images,
+    load_keras_mnist_npz,
     load_rotated_mnist,
     generate_init_inducing_points,
     add_global_index,
@@ -21,5 +22,7 @@ from svgpvae_tpu.data.sprites import (  # noqa: F401
     load_sprites,
     sprites_batch_iterator,
     preprocess_sprites,
+    load_raw_sprites_npys,
+    has_raw_sprites_npys,
     save_sprites_shards,
 )

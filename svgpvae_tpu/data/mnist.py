@@ -55,6 +55,43 @@ def derive_base_images_from_eval(eval_pickle_path: str,
     return np.concatenate(out)[:n_target]
 
 
+def load_keras_mnist_npz(npz_path: str, digits: str = "3",
+                         per_digit: int = 400,
+                         seed: int = 0) -> np.ndarray:
+    """Base images from a real MNIST archive in the exact keras layout.
+
+    The reference generator loads raw MNIST via
+    `tf.keras.datasets.mnist.load_data()` (utils.py:534-538), whose
+    on-disk cache is `mnist.npz` with uint8 arrays under keys
+    `x_train` (60000, 28, 28), `y_train`, `x_test`, `y_test`.  This
+    loader consumes that exact file so a day-one real-data run needs
+    zero code change: drop keras's `~/.keras/datasets/mnist.npz` at
+    `<mnist_data_path>/mnist.npz` and the driver bootstraps from real
+    digits.  Selection mirrors the reference (:541-548): `per_digit`
+    train images sampled per digit with `random.seed(seed)` +
+    `random.sample`, concatenated in digit-block order.
+
+    Returns (len(digits) * per_digit, 28, 28) float in [0, 1].
+    """
+    import random as _random
+
+    with np.load(npz_path) as z:
+        x_train = z["x_train"]
+        y_train = z["y_train"]
+    assert x_train.dtype == np.uint8 and x_train.shape[1:] == (28, 28), \
+        (x_train.dtype, x_train.shape)
+    x_train = x_train.astype(np.float64) / 255.0
+
+    _random.seed(seed)
+    blocks = []
+    for d in digits:
+        x_digit = x_train[y_train == int(d)]
+        print(f"Number of images with digit {d}: {len(x_digit)}")
+        idx = _random.sample(list(range(x_digit.shape[0])), per_digit)
+        blocks.append(x_digit[idx])
+    return np.concatenate(blocks)
+
+
 # seven-segment layout: (row_lo, row_hi, col_lo, col_hi) in a 28x28 frame
 _SEGMENTS = {
     "A": (4, 7, 8, 20),     # top bar

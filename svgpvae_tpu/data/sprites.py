@@ -89,6 +89,57 @@ def generate_synthetic_sprites(n_train_chars: int = 20,
     }
 
 
+RAW_SPRITES_ACTIONS = ("walk", "spellcard", "slash")
+RAW_SPRITES_DIRECTIONS = ("front", "left", "right")
+
+
+def load_raw_sprites_npys(path: str):
+    """Load the external sprites repo's raw .npy corpus in its EXACT
+    published file layout.
+
+    The reference ingests the corpus through the external repo's
+    `sprites_act` (SPRITES_utils.py:20,66 — `from load_sprites import
+    sprites_act`), which reads, for each of the 9 action-direction
+    combinations `{walk,spellcard,slash}_{front,left,right}`:
+
+        <path>/<action>_<direction>_frames_train.npy      (N_tr, 8, 64, 64, 3)
+        <path>/<action>_<direction>_frames_test.npy       (N_te, 8, 64, 64, 3)
+        <path>/<action>_<direction>_attributes_train.npy  (N_tr, 8, 4, 6)
+        <path>/<action>_<direction>_attributes_test.npy   (N_te, 8, 4, 6)
+
+    and synthesizes the 9-way action one-hot `d[:, :, 3*act + dir] = 1`.
+    Returns the same 6-tuple convention `(X_train, X_test, A_train,
+    A_test, D_train, D_test)` so `preprocess_sprites` consumes it
+    unchanged — pointing the driver at a directory of the published npys
+    works with zero code change.
+    """
+    p = Path(path)
+    out = {"train": [[], [], []], "test": [[], [], []]}
+    for act_i, action in enumerate(RAW_SPRITES_ACTIONS):
+        for dir_i, direction in enumerate(RAW_SPRITES_DIRECTIONS):
+            label = 3 * act_i + dir_i
+            for split in ("train", "test"):
+                x = np.load(p / f"{action}_{direction}_frames_{split}.npy")
+                a = np.load(
+                    p / f"{action}_{direction}_attributes_{split}.npy")
+                assert x.shape[1:] == (FRAMES_PER_ACTION, 64, 64, 3), x.shape
+                assert a.shape[:2] == x.shape[:2] and a.shape[3] == 6, a.shape
+                d = np.zeros((x.shape[0], x.shape[1], 9), dtype=x.dtype)
+                d[:, :, label] = 1.0
+                xs, As, ds = out[split]
+                xs.append(x)
+                As.append(a)
+                ds.append(d)
+    x_tr, a_tr, d_tr = (np.concatenate(v) for v in out["train"])
+    x_te, a_te, d_te = (np.concatenate(v) for v in out["test"])
+    return x_tr, x_te, a_tr, a_te, d_tr, d_te
+
+
+def has_raw_sprites_npys(path: str) -> bool:
+    """True when the published raw corpus layout is present at `path`."""
+    return (Path(path) / "walk_front_frames_train.npy").exists()
+
+
 def preprocess_sprites(x_train, a_train, d_train, x_test, a_test, d_test,
                        n_frames_train: int = 50,
                        seed: int = 0) -> Dict[str, dict]:

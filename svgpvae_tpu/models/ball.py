@@ -155,7 +155,9 @@ def ball_svgpvae_elbo(encoder, enc_params, decoder, dec_params,
 
 def pearce_elbo(encoder, enc_params, decoder, dec_params, vids: Array,
                 beta, key, length_scale, elbo_type: str = "GPVAE_Pearce",
-                context_ratio: float = 0.5) -> BallOutputs:
+                context_ratio: float = 0.5,
+                context_length_scale=None,
+                entropy_ce: bool = False) -> BallOutputs:
     """Pearce-GPVAE / NP / VAE ELBO on ball videos (reference:
     build_pearce_elbo_graphs, GPVAE_Pearce_model.py:89-236).
 
@@ -164,25 +166,49 @@ def pearce_elbo(encoder, enc_params, decoder, dec_params, vids: Array,
     BALL_experiment.py:46-49).  For 'NP' a random context/target split is
     drawn per call; the split size follows the reference's truncated normal
     around context_ratio * T, and masking keeps shapes static.
+
+    `length_scale` may be a scalar, or a pair (lx, ly) of per-channel
+    scales — trainable under --GP_joint, matching the reference's
+    per-channel l_GP variables (GPVAE_Pearce_model.py:36-42, one created
+    per build_1d_gp call).  The NP context GPs always use the STATIC
+    `context_length_scale` (default: length_scale when untrained) — the
+    reference builds them with the constant lt even under GP_joint
+    (GPVAE_Pearce_model.py:162-163).
+
+    `entropy_ce` replaces the encoder cross-entropy with the exact
+    sampling-distribution entropy term (PARITY.md #13's experiment knob,
+    as in ball_svgpvae_elbo / forward_pass_svgpvae).
     """
     batch, tmax = vids.shape[0], vids.shape[1]
     dtype = vids.dtype
     times = jnp.arange(0, tmax, dtype=dtype)
     batch_t = jnp.tile(times[None], (batch, 1))
 
+    if isinstance(length_scale, (tuple, list)):
+        ls_x, ls_y = length_scale
+    else:
+        ls_x = ls_y = length_scale
+    ctx_ls = (context_length_scale if context_length_scale is not None
+              else length_scale)
+
     qnet_mu, qnet_var = encoder.apply(enc_params, vids)  # (b, T, 2)
     qnet_var = _marginalize_qvar(qnet_var)
 
     # full-data posterior + marginal likelihood per channel
     post_x = gp_regression_1d(batch_t, qnet_mu[:, :, 0], qnet_var[:, :, 0],
-                              batch_t, length_scale)
+                              batch_t, ls_x)
     post_y = gp_regression_1d(batch_t, qnet_mu[:, :, 1], qnet_var[:, :, 1],
-                              batch_t, length_scale)
+                              batch_t, ls_y)
     p_m = jnp.stack([post_x.mean, post_y.mean], axis=2)
     p_v = jnp.stack([post_x.var, post_y.var], axis=2)
     full_lhood = post_x.log_marginal + post_y.log_marginal
 
-    ce = linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var)
+    if entropy_ce:
+        # exact H(p~) in the -E[log q~] slot (see ball_svgpvae_elbo)
+        ce = -0.5 * (1.0 + linalg.LOG_2PI
+                     + jnp.log(jnp.maximum(p_v, 1e-12)))
+    else:
+        ce = linalg.gauss_cross_entropy(p_m, p_v, qnet_mu, qnet_var)
     ce_bt = jnp.sum(ce, axis=2)  # (batch, T)
 
     eps = jax.random.normal(key, p_m.shape, dtype=p_m.dtype)
@@ -219,9 +245,9 @@ def pearce_elbo(encoder, enc_params, decoder, dec_params, vids: Array,
         ctx_var_x = jnp.where(ctx_mask, mv_perm, big)
         ctx_var_y = jnp.where(ctx_mask, mv_perm_y, big)
         ctx_x = gp_regression_1d(t_perm, mu_perm, ctx_var_x, batch_t,
-                                 length_scale)
+                                 ctx_ls)
         ctx_y = gp_regression_1d(t_perm, mu_perm_y, ctx_var_y, batch_t,
-                                 length_scale)
+                                 ctx_ls)
         # masked points contribute -0.5*log(2 pi * big) each; remove that
         # constant so the context lhood matches an exact subset computation.
         n_masked = jnp.sum(is_target, axis=1).astype(dtype)

@@ -2,6 +2,7 @@ from svgpvae_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     make_mesh,
+    resolve_data_parallel,
     shard_batch,
     shard_stacked_batches,
     replicate,

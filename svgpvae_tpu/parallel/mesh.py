@@ -54,6 +54,31 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(grid, (axis_name, model_axis_name))
 
 
+def resolve_data_parallel(n: int, batch_size: int) -> Optional[Mesh]:
+    """CLI-facing mesh resolution for `--data_parallel N`.
+
+    N = 0 disables (returns None); N = -1 uses every visible device;
+    N > 0 uses the first N.  The batch size must tile the data axis —
+    each scanned train step shards its batch over the mesh
+    (`shard_stacked_batches`), so a non-divisible batch would need
+    padding that changes the GP minibatch semantics (the (N/b) bias
+    correction, SVGPVAE_model.py:328-334); refuse loudly instead.
+    """
+    if not n:
+        return None
+    ndev = len(jax.devices()) if n < 0 else n
+    avail = len(jax.devices())
+    if ndev > avail:
+        raise SystemExit(f"--data_parallel {n}: only {avail} devices "
+                         "visible")
+    if batch_size % ndev:
+        raise SystemExit(f"--data_parallel {ndev}: batch_size "
+                         f"{batch_size} does not tile the data axis; "
+                         "pick a batch size divisible by the device "
+                         "count")
+    return make_mesh(ndev)
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
     """Place a batch pytree with its leading axis sharded over the mesh."""
     def put(x):

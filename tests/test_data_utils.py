@@ -234,6 +234,97 @@ def test_preprocess_sprites_raw_corpus():
     assert (np.diff(aux[:, 0]) >= 0).all()
 
 
+def test_raw_sprites_npy_exact_published_layout(tmp_path):
+    """Byte-level fixture of the external repo's published file layout
+    (VERDICT r3 item 7): 36 npy files named
+    {walk,spellcard,slash}_{front,left,right}_{frames,attributes}_
+    {train,test}.npy with the true shapes/dtypes, loaded through
+    data.load_raw_sprites_npys (the sprites_act equivalent,
+    SPRITES_utils.py:20,66) and preprocessed end-to-end."""
+    rng = np.random.RandomState(3)
+    n_tr, n_te, T = 3, 2, 8
+
+    def attrs(n, offset):
+        # one attribute signature per character, constant over frames
+        a = np.zeros((n, T, 4, 6), np.float32)
+        for c in range(n):
+            a[c, :, np.arange(4), (offset + c) % 6] = 1
+        return a
+
+    for action in data.sprites.RAW_SPRITES_ACTIONS:
+        for direction in data.sprites.RAW_SPRITES_DIRECTIONS:
+            stem = f"{action}_{direction}"
+            np.save(tmp_path / f"{stem}_frames_train.npy",
+                    rng.rand(n_tr, T, 64, 64, 3).astype(np.float32))
+            np.save(tmp_path / f"{stem}_frames_test.npy",
+                    rng.rand(n_te, T, 64, 64, 3).astype(np.float32))
+            np.save(tmp_path / f"{stem}_attributes_train.npy",
+                    attrs(n_tr, 0))
+            np.save(tmp_path / f"{stem}_attributes_test.npy",
+                    attrs(n_te, 3))
+
+    assert data.has_raw_sprites_npys(str(tmp_path))
+    x_tr, x_te, a_tr, a_te, d_tr, d_te = data.load_raw_sprites_npys(
+        str(tmp_path))
+    assert x_tr.shape == (9 * n_tr, T, 64, 64, 3)
+    assert x_te.shape == (9 * n_te, T, 64, 64, 3)
+    assert a_tr.shape == (9 * n_tr, T, 4, 6)
+    # the synthesized action one-hot: sequence j of combo k has label k
+    assert d_tr.shape == (9 * n_tr, T, 9)
+    np.testing.assert_array_equal(np.argmax(d_tr[:, 0], axis=1),
+                                  np.repeat(np.arange(9), n_tr))
+
+    splits = data.preprocess_sprites(x_tr, a_tr, d_tr, x_te, a_te, d_te,
+                                     n_frames_train=50)
+    assert splits["train"]["frames"].shape == (n_tr * 50, 64, 64, 3)
+    assert splits["test_character"]["frames"].shape == (n_te * 72,
+                                                        64, 64, 3)
+
+
+def test_keras_mnist_npz_exact_layout(tmp_path):
+    """Byte-level fixture of the keras mnist.npz cache layout (what
+    tf.keras.datasets.mnist.load_data() reads; reference generator
+    utils.py:534-538): uint8 arrays under x_train/y_train/x_test/y_test.
+    The driver bootstrap (cli.mnist.ensure_dataset) consumes this file
+    for any digit set with zero code change."""
+    rng = np.random.RandomState(0)
+    n = 200
+    x_train = (rng.rand(n, 28, 28) * 255).astype(np.uint8)
+    y_train = rng.randint(0, 10, n).astype(np.uint8)
+    np.savez(tmp_path / "mnist.npz", x_train=x_train, y_train=y_train,
+             x_test=x_train[:10], y_test=y_train[:10])
+
+    base = data.load_keras_mnist_npz(str(tmp_path / "mnist.npz"),
+                                     digits="36", per_digit=5, seed=0)
+    assert base.shape == (10, 28, 28)
+    assert base.dtype == np.float64
+    assert 0.0 <= base.min() and base.max() <= 1.0
+    # digit-block order: the first 5 rows are digit-3 images
+    digit3 = x_train[y_train == 3].astype(np.float64) / 255.0
+    for row in base[:5]:
+        assert any(np.array_equal(row, img) for img in digit3)
+
+    # the driver-level hook: ensure_dataset picks the archive up and
+    # generates the full multi-digit pickles from REAL base images
+    from svgpvae_tpu.cli import mnist as mnist_cli
+    import warnings
+    args = mnist_cli.build_parser().parse_args(
+        ["--dataset", "36", "--mnist_data_path", str(tmp_path), "--PCA"])
+    # per_digit=400 resampling needs >=400 images/digit; monkey-free
+    # shortcut: enlarge the fixture archive
+    x_big = (rng.rand(9000, 28, 28) * 255).astype(np.uint8)
+    y_big = np.tile(np.arange(10), 900).astype(np.uint8)
+    np.savez(tmp_path / "mnist.npz", x_train=x_big, y_train=y_big,
+             x_test=x_big[:10], y_test=y_big[:10])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        mnist_cli.ensure_dataset(args)
+    train_d, eval_d, test_d = data.load_rotated_mnist(str(tmp_path),
+                                                      digits="36")
+    assert len(train_d["images"]) == 2 * 4050
+    assert len(test_d["images"]) == 2 * 270
+
+
 def test_rotated_mnist_multi_digit_splits():
     """Multi-digit base images get per-digit eval/train splits (reference:
     generate_rotated_MNIST, utils.py:507-657 loops the split per digit)."""

@@ -64,3 +64,39 @@ def test_raw_corpus_to_training(tmp_path):
     out = sprites_cli.run_experiment(args)
     assert "best_cgen_mse" in out
     assert np.isfinite(out["best_cgen_mse"])
+
+
+def test_stale_corpus_guard(tmp_path):
+    """ensure_dataset must not silently reuse a synthetic corpus of a
+    different scale (round-3 advisor, medium): scale mismatch fails hard
+    unless --allow_stale_corpus; an unreadable (partially written) corpus
+    is deleted and regenerated instead of crashing the guard."""
+    path = str(tmp_path / "corpus")
+
+    def parse(chars, extra=()):
+        return sprites_cli.build_parser().parse_args(
+            ["--synthetic", "--synthetic_chars", str(chars),
+             "--sprites_data_path", path, *extra])
+
+    args = parse(2)
+    sprites_cli.ensure_dataset(args)   # generates 2 * 50 rows
+    sprites_cli.ensure_dataset(args)   # matching corpus: silent reuse
+    assert sprites_cli._count_corpus_rows(
+        str(tmp_path / "corpus" / "train")) == 100
+
+    with pytest.raises(SystemExit):
+        sprites_cli.ensure_dataset(parse(3))  # scale mismatch: fail hard
+
+    # explicit opt-in reuses the mismatched corpus (warn only)
+    sprites_cli.ensure_dataset(parse(3, ["--allow_stale_corpus"]))
+    assert sprites_cli._count_corpus_rows(
+        str(tmp_path / "corpus" / "train")) == 100
+
+    # corrupt shard -> corpus counts as invalid -> delete + regenerate
+    shard = sorted((tmp_path / "corpus" / "train").glob("*.npz"))[0]
+    shard.write_bytes(b"not an npz")
+    assert sprites_cli._count_corpus_rows(
+        str(tmp_path / "corpus" / "train")) is None
+    sprites_cli.ensure_dataset(parse(2))
+    assert sprites_cli._count_corpus_rows(
+        str(tmp_path / "corpus" / "train")) == 100

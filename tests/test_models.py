@@ -261,6 +261,39 @@ def test_pearce_family_elbos(elbo_type):
     assert np.all(np.isfinite(np.asarray(out.elbo)))
 
 
+def test_pearce_gp_joint_length_scales_and_entropy_ce():
+    """Per-channel trainable length scales (reference: per-call l_GP
+    variables, GPVAE_Pearce_model.py:36-42) get nonzero gradients through
+    the marginal likelihood, a scalar length scale reproduces the pair
+    form, and the entropy-CE variant is finite and differs from the
+    reference CE."""
+    batch, T = 3, 10
+    enc, dec = nets.BallEncoder(), nets.BallDecoder()
+    vids = jnp.asarray(RNG.rand(batch, T, 32, 32) > 0.8, dtype=jnp.float32)
+    ep = enc.init(KEY, vids)
+    dp = dec.init(KEY, jnp.zeros((batch, T, 2)))
+
+    out_scalar = models.pearce_elbo(enc, ep, dec, dp, vids, 1.0, KEY, 2.0)
+    out_pair = models.pearce_elbo(enc, ep, dec, dp, vids, 1.0, KEY,
+                                  (jnp.asarray(2.0), jnp.asarray(2.0)))
+    np.testing.assert_allclose(np.asarray(out_pair.elbo),
+                               np.asarray(out_scalar.elbo), rtol=1e-6)
+
+    def mean_elbo(ls):
+        return jnp.mean(models.pearce_elbo(enc, ep, dec, dp, vids, 1.0,
+                                           KEY, ls).elbo)
+
+    g = jax.grad(mean_elbo)((jnp.asarray(2.0), jnp.asarray(3.0)))
+    assert np.isfinite(float(g[0])) and np.isfinite(float(g[1]))
+    assert float(jnp.abs(g[0])) > 0 and float(jnp.abs(g[1])) > 0
+
+    out_ent = models.pearce_elbo(enc, ep, dec, dp, vids, 1.0, KEY, 2.0,
+                                 entropy_ce=True)
+    assert np.all(np.isfinite(np.asarray(out_ent.elbo)))
+    assert not np.allclose(np.asarray(out_ent.ce_term),
+                           np.asarray(out_scalar.ce_term))
+
+
 def test_casale_forward_and_predict():
     N, b, L, M, P, Q = 20, 5, 4, 3, 4, 5
     vae = nets.MnistVAE(L=L)
