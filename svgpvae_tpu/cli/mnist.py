@@ -86,6 +86,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--PCA", action="store_true")
     p.add_argument("--bias_analysis", action="store_true")
     p.add_argument("--M", type=int, default=8)
+    p.add_argument("--lr_gp", type=float, default=0.01,
+                   help="Casale GP-regime Adam lr (reference hardcodes "
+                        "0.01, MNIST_experiment.py:891)")
+    p.add_argument("--lr_joint", type=float, default=0.001,
+                   help="Casale joint-regime Adam lr (reference 0.001, "
+                        "MNIST_experiment.py:905)")
+    p.add_argument("--casale_alpha_softplus", action="store_true",
+                   help="reparameterize the Casale latent-GP noise as "
+                        "alpha = softplus(raw) instead of the straight-"
+                        "through floor clamp (PARITY.md #7); probes "
+                        "whether the converged Casale gap is an "
+                        "alpha-at-the-floor artifact")
     p.add_argument("--N_t", type=int, default=None)
     # runtime extensions
     p.add_argument("--eval_every", type=int, default=10,
@@ -1085,7 +1097,9 @@ def run_casale(args) -> dict:
             0, 1.5, n * 400 * args.M).reshape(n * 400, args.M)
     gp = gpm.init_casale_gp(ov_init,
                             object_kernel_normalize=args.object_kernel_normalize,
-                            ov_joint=args.ov_joint, jitter=args.jitter)
+                            ov_joint=args.ov_joint, jitter=args.jitter,
+                            alpha_transform="softplus"
+                            if args.casale_alpha_softplus else "clamp")
     params = {"vae": vae_params, "gp": gp}
 
     full_images = jnp.asarray(train_d["images"], jnp.float32)
@@ -1124,8 +1138,8 @@ def run_casale(args) -> dict:
 
     # three regime optimizers (reference: MNIST_experiment.py:884-906 — one
     # Adam with per-regime var lists and lrs; here: per-regime Adam chains)
-    txs = {"joint": train.make_optimizer(0.001),
-           "GP": train.make_optimizer(0.01, mask=gp_mask),
+    txs = {"joint": train.make_optimizer(args.lr_joint),
+           "GP": train.make_optimizer(args.lr_gp, mask=gp_mask),
            "VAE": train.make_optimizer(0.001, mask=vae_mask)}
     steps = {"joint": train.make_train_step(loss_casale, txs["joint"],
                                             donate=False),
@@ -1203,7 +1217,8 @@ def run_casale(args) -> dict:
             gp_p = current_params["gp"]
             print(f"  GP params: l={float(gp_p.length_scale):.4f} "
                   f"amp={float(gp_p.amplitude):.4f} "
-                  f"alpha={float(gp_p.alpha):.5f} "
+                  f"alpha_raw={float(gp_p.alpha):.5f} "
+                  f"noise={float(gpm.casale_noise(gp_p)):.6f} "
                   f"|ov|={float(jnp.linalg.norm(gp_p.object_vectors)):.3f}")
             recon, cgen_loss = cgen_fn(current_params,
                                        jax.random.fold_in(key, epoch))

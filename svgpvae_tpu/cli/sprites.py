@@ -106,6 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run the conv nets (VAE + repr net) in bfloat16; "
                         "GP linear algebra stays float32")
+    p.add_argument("--bf16_hybrid", action="store_true",
+                   help="mixed precision: conv trunks in bfloat16, the "
+                        "quality-critical head stages (encoder mean/"
+                        "log-var Dense, decoder output Conv) in float32 "
+                        "— probes whether uniform bf16's converged-"
+                        "horizon quality floor (RESULTS.md wave 24) "
+                        "lives in the heads")
     p.add_argument("--gp_block_impl", type=str, default="auto",
                    choices=["reference", "fused", "fused_pallas",
                             "fused_rejitter", "auto"],
@@ -267,8 +274,11 @@ def run_experiment(args) -> dict:
                          "joint-N — phase schedules are an MNIST/Casale "
                          "feature (cli.mnist)")
 
-    net_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    vae = nets.SpritesVAE(L=args.L, dtype=net_dtype)
+    net_dtype = (jnp.bfloat16 if (args.bf16 or args.bf16_hybrid)
+                 else jnp.float32)
+    vae = nets.SpritesVAE(L=args.L, dtype=net_dtype,
+                          head_dtype=jnp.float32
+                          if args.bf16_hybrid else None)
     dummy = jnp.zeros((2, 64, 64, 3))
     vae_params = vae.init(key, dummy)
     params = {"vae": vae_params}

@@ -28,6 +28,7 @@ from svgpvae_tpu.gp.casale import (  # noqa: F401
     v_matrix,
     taylor_coeffs,
     casale_k_inv,
+    casale_noise,
 )
 from svgpvae_tpu.gp.svigp import (  # noqa: F401
     SVIGP,

@@ -36,26 +36,47 @@ class CasaleGP:
 
     length_scale: Array   # view-kernel length scale
     amplitude: Array      # view-kernel amplitude
-    alpha: Array          # observation noise of the latent GP
+    alpha: Array          # observation noise of the latent GP (raw param)
     object_vectors: Array  # (n_objects, M) GPLVM table
     object_kernel_normalize: bool = struct.field(pytree_node=False,
                                                  default=False)
     ov_joint: bool = struct.field(pytree_node=False, default=True)
     jitter: float = struct.field(pytree_node=False, default=1e-6)
+    # raw-alpha -> noise map: "clamp" (identity value; consumers apply the
+    # straight-through ALPHA_FLOOR — PARITY.md #7) or "softplus" (always-
+    # positive reparameterization, the VERDICT r3 item 4 experiment: is
+    # the Casale converged gap caused by alpha pinning at the floor?)
+    alpha_transform: str = struct.field(pytree_node=False, default="clamp")
 
 
 def init_casale_gp(object_vectors_init, object_kernel_normalize: bool,
                    ov_joint: bool, jitter: float = 1e-6,
-                   dtype=jnp.float32) -> CasaleGP:
+                   dtype=jnp.float32,
+                   alpha_transform: str = "clamp") -> CasaleGP:
+    import numpy as np
+    alpha0 = 0.1
+    raw = (np.log(np.expm1(alpha0)) if alpha_transform == "softplus"
+           else alpha0)  # softplus(raw) == alpha0 at init
     return CasaleGP(
         length_scale=jnp.asarray(1.0, dtype=dtype),
         amplitude=jnp.asarray(1.0, dtype=dtype),
-        alpha=jnp.asarray(0.1, dtype=dtype),
+        alpha=jnp.asarray(raw, dtype=dtype),
         object_vectors=jnp.asarray(object_vectors_init, dtype=dtype),
         object_kernel_normalize=object_kernel_normalize,
         ov_joint=ov_joint,
         jitter=jitter,
+        alpha_transform=alpha_transform,
     )
+
+
+def casale_noise(gp: "CasaleGP"):
+    """Raw alpha parameter -> (pre-floor) noise value per alpha_transform.
+    Consumers still pass the result through `effective_alpha` (a no-op
+    above the floor; softplus output is always positive so the floor
+    never binds there)."""
+    if gp.alpha_transform == "softplus":
+        return jax.nn.softplus(gp.alpha)
+    return gp.alpha
 
 
 def casale_kernel_matrix(gp: CasaleGP, x: Array, y: Array,
@@ -200,7 +221,7 @@ def taylor_coeffs(gp: CasaleGP, Z: Array, V: Array
     Returns a (L, N), B (L, N, H), c (L,).  The reference's Python loop over
     channels becomes batched matmuls.
     """
-    K_inv = casale_k_inv(V, gp.alpha)  # (N, N)
+    K_inv = casale_k_inv(V, casale_noise(gp))  # (N, N)
 
     a = Z.T @ K_inv  # (L, N)
     K_inv_V = K_inv @ V  # (N, H)

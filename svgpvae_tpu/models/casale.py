@@ -16,7 +16,8 @@ from jax import Array
 
 from svgpvae_tpu import linalg
 from svgpvae_tpu.gp.casale import (CasaleGP, casale_kernel_matrix,
-                                   casale_k_inv, effective_alpha)
+                                   casale_k_inv, casale_noise,
+                                   effective_alpha)
 
 QVAR_CLIP = (1e-3, 100.0)  # reference: GPVAE_Casale_model.py:87, 124
 
@@ -72,7 +73,7 @@ def forward_pass_casale(vae, vae_params, gp: CasaleGP, batch, key,
 
     gp_prior_term = (jnp.sum(latent * a_batch.T)
                      + jnp.sum(B_batch * V_batch[None])
-                     + jnp.sum(c) * effective_alpha(gp.alpha))
+                     + jnp.sum(c) * effective_alpha(casale_noise(gp)))
 
     recon_images = vae.apply(vae_params, latent, method=vae.decode)
     recon_sum = jnp.sum((images - recon_images) ** 2)
@@ -104,7 +105,7 @@ def predict_cgen_casale(vae, vae_params, gp: CasaleGP, test_images: Array,
     @linalg.precise
     def posterior_mean_var():
         K_tt = casale_kernel_matrix(gp, test_aux, train_aux[:, 1:])  # (x, N)
-        K_inv = casale_k_inv(V, gp.alpha)  # (N, N)
+        K_inv = casale_k_inv(V, casale_noise(gp))  # (N, N)
         mean = K_tt @ (K_inv @ latent_train)  # (x, L)
         if take_mean:
             return mean, None

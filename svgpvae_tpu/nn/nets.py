@@ -239,26 +239,36 @@ class SpritesVAE(nn.Module):
     L: int = 64
     dtype: jnp.dtype = jnp.float32
     filters: int = 16
+    # dtype of the quality-critical head stages (encoder mean/log-var
+    # Dense + decoder output Conv); None = same as `dtype`.  The hybrid
+    # mixed-precision mode (cli.sprites --bf16_hybrid) runs the conv
+    # trunks in bfloat16 and keeps the heads float32 — the wave-24
+    # finding was that UNIFORM bf16's noise floor binds at converged
+    # horizons, and the heads are where precision touches the losses
+    # (the variance head feeds exp -> GP precisions; the output conv
+    # feeds the pixel MSE).
+    head_dtype: object = None
 
     def setup(self):
         f = self.filters
+        hd = self.head_dtype or self.dtype
         self.enc_convs = [
             nn.Conv(f, (3, 3), strides=(s, s), padding="SAME",
                     dtype=self.dtype, name=f"enc_conv{i}")
             for i, s in enumerate((1, 2, 1, 2, 1, 2))]
-        self.enc_out = nn.Dense(2 * self.L, dtype=self.dtype)
+        self.enc_out = nn.Dense(2 * self.L, dtype=hd)
         self.dec_in = nn.Dense(64 * f, dtype=self.dtype)
         self.dec_convs = [
             nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
                     name=f"dec_conv{i}") for i in range(6)]
-        self.dec_out = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)
+        self.dec_out = nn.Conv(3, (3, 3), padding="SAME", dtype=hd)
 
     def encode(self, images: Array) -> Tuple[Array, Array]:
         h = images.astype(self.dtype)
         for conv in self.enc_convs:
             h = nn.elu(conv(h))
         h = h.reshape(h.shape[0], -1)  # (b, 8*8*16)
-        enc = self.enc_out(h)
+        enc = self.enc_out(h.astype(self.head_dtype or self.dtype))
         return enc[:, :self.L], safe_exp(enc[:, self.L:])
 
     def decode(self, latents: Array) -> Array:
@@ -268,7 +278,8 @@ class SpritesVAE(nn.Module):
             h = upsample2x(h)
             h = nn.elu(self.dec_convs[2 * i](h))
             h = nn.elu(self.dec_convs[2 * i + 1](h))
-        return nn.elu(self.dec_out(h))
+        return nn.elu(self.dec_out(
+            h.astype(self.head_dtype or self.dtype)))
 
     def __call__(self, images: Array):
         mean, var = self.encode(images)

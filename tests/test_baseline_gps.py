@@ -103,6 +103,29 @@ def test_v_matrix_low_rank_structure():
     np.testing.assert_allclose(np.asarray(V @ V.T), np.asarray(K), atol=5e-5)
 
 
+def test_casale_alpha_softplus_transform():
+    """softplus alpha reparameterization: same init noise value as the
+    clamp default, always positive, and nonzero gradient arbitrarily far
+    below zero raw (unlike a plain max-clamp)."""
+    import jax
+    from svgpvae_tpu.gp.casale import casale_noise
+
+    ov = RNG.randn(4, 3)
+    gp_c = gpm.init_casale_gp(ov, object_kernel_normalize=False,
+                              ov_joint=True)
+    gp_s = gpm.init_casale_gp(ov, object_kernel_normalize=False,
+                              ov_joint=True, alpha_transform="softplus")
+    assert float(casale_noise(gp_c)) == pytest.approx(0.1)
+    assert float(casale_noise(gp_s)) == pytest.approx(0.1, rel=1e-5)
+
+    def noise_of(raw):
+        return casale_noise(gp_s.replace(alpha=raw))
+
+    deep = jnp.asarray(-8.0)
+    assert float(noise_of(deep)) > 0.0
+    assert float(jax.grad(noise_of)(deep)) > 0.0
+
+
 def test_casale_k_inv_woodbury():
     gp, ov, angles, mask = _make_casale()
     V = np.asarray(gpm.v_matrix(gp, jnp.asarray(angles), jnp.arange(len(ov)),

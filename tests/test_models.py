@@ -261,6 +261,106 @@ def test_pearce_family_elbos(elbo_type):
     assert np.all(np.isfinite(np.asarray(out.elbo)))
 
 
+def test_pearce_elbo_naive_f64_parity():
+    """Term-by-term parity of pearce_elbo against a naive float64 numpy
+    implementation of the reference composition (GPVAE_Pearce_model.py:
+    89-236 with build_1d_gp :8-86): per-channel exact-GP posterior and
+    marginal likelihood, gauss cross-entropy, Bernoulli reconstruction,
+    elbo = recon + beta * (lhood - ce).  VERDICT r3 item 2's harness —
+    exonerates (or implicates) the implementation independently of the
+    training-dynamics question."""
+    batch, T, beta, lt = 3, 7, 1.0, 2.0
+    enc, dec = nets.BallEncoder(), nets.BallDecoder()
+    vids = jnp.asarray(RNG.rand(batch, T, 32, 32) > 0.7, dtype=jnp.float32)
+    ep = enc.init(KEY, vids)
+    dp = dec.init(KEY, jnp.zeros((batch, T, 2)))
+
+    out = models.pearce_elbo(enc, ep, dec, dp, vids, beta, KEY, lt)
+
+    # naive f64 downstream of the encoder outputs
+    qm = np.asarray(out.qnet_mu, np.float64)   # (b, T, 2)
+    qv = np.asarray(out.qnet_var, np.float64)
+    t = np.arange(T, dtype=np.float64)
+    p_m = np.zeros((batch, T, 2))
+    p_v = np.zeros((batch, T, 2))
+    lhood = np.zeros(batch)
+    for b in range(batch):
+        for ch in range(2):
+            K = np.exp(-0.5 * (t[:, None] - t[None, :]) ** 2 / lt ** 2)
+            A = K + np.diag(qv[b, :, ch])
+            iKy = np.linalg.solve(A, qm[b, :, ch])
+            sign, logdet = np.linalg.slogdet(A)
+            lhood[b] += -0.5 * (T * np.log(2 * np.pi)
+                                + qm[b, :, ch] @ iKy + logdet)
+            p_m[b, :, ch] = K.T @ iKy
+            p_v[b, :, ch] = 1.0 - np.sum(K * np.linalg.solve(A, K), axis=0)
+    np.testing.assert_allclose(np.asarray(out.p_m), p_m, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.p_v), p_v, rtol=2e-4,
+                               atol=1e-5)
+
+    # gauss cross-entropy term (reference utils.py:483-504)
+    ce = -0.5 * (np.log(2 * np.pi) + np.log(qv)
+                 + (p_v + p_m ** 2 - 2 * p_m * qm + qm ** 2) / qv)
+    ce_b = ce.sum(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(out.ce_term), ce_b, rtol=2e-4,
+                               atol=1e-4)
+
+    # prior KL and full elbo composition
+    np.testing.assert_allclose(np.asarray(out.prior_kl), lhood - ce_b,
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.elbo),
+        np.asarray(out.recon, np.float64) + beta * (lhood - ce_b),
+        rtol=2e-4, atol=1e-3)
+
+    # Bernoulli reconstruction term against naive f64 on the SAME
+    # latent sample (reconstruct it from p_m/p_v and the known eps)
+    eps = np.asarray(jax.random.normal(KEY, (batch, T, 2)), np.float64)
+    latent = p_m + eps * np.sqrt(np.maximum(np.asarray(out.p_v,
+                                                       np.float64), 0.0))
+    logits = np.asarray(dec.apply(dp, jnp.asarray(latent, jnp.float32)),
+                        np.float64)
+    v = np.asarray(vids, np.float64)
+    ce_rec = np.maximum(logits, 0) - logits * v + np.log1p(
+        np.exp(-np.abs(logits)))
+    np.testing.assert_allclose(np.asarray(out.recon),
+                               -ce_rec.sum(axis=(1, 2, 3)), rtol=2e-4,
+                               atol=1e-2)
+
+    # gradient of the marginal likelihood wrt an encoder mean entry vs
+    # f64 central differences of the naive function (the lhood term is
+    # the Pearce objective's distinctive gradient channel)
+    def lhood_jax(qm_j):
+        post = gpm.gp_regression_1d(
+            jnp.tile(jnp.asarray(t, jnp.float32)[None], (batch, 1)),
+            qm_j[:, :, 0], jnp.asarray(qv[:, :, 0], jnp.float32),
+            jnp.tile(jnp.asarray(t, jnp.float32)[None], (batch, 1)), lt)
+        return jnp.sum(post.log_marginal)
+
+    g = jax.grad(lhood_jax)(jnp.asarray(qm, jnp.float32))
+
+    def lhood_np(qm_flat):
+        qm_ = qm_flat.reshape(qm.shape)
+        tot = 0.0
+        for b in range(batch):
+            K = np.exp(-0.5 * (t[:, None] - t[None, :]) ** 2 / lt ** 2)
+            A = K + np.diag(qv[b, :, 0])
+            iKy = np.linalg.solve(A, qm_[b, :, 0])
+            sign, logdet = np.linalg.slogdet(A)
+            tot += -0.5 * (T * np.log(2 * np.pi)
+                           + qm_[b, :, 0] @ iKy + logdet)
+        return tot
+
+    h = 1e-5
+    for (bi, ti) in ((0, 2), (1, 5)):
+        e = np.zeros(qm.size)
+        e[np.ravel_multi_index((bi, ti, 0), qm.shape)] = h
+        fd = (lhood_np(qm.ravel() + e) - lhood_np(qm.ravel() - e)) / (2 * h)
+        np.testing.assert_allclose(float(g[bi, ti, 0]), fd, rtol=1e-3,
+                                   atol=1e-5)
+
+
 def test_pearce_gp_joint_length_scales_and_entropy_ce():
     """Per-channel trainable length scales (reference: per-call l_GP
     variables, GPVAE_Pearce_model.py:36-42) get nonzero gradients through

@@ -70,6 +70,28 @@ def test_sprites_vae_shapes():
     assert recon.shape == (2, 64, 64, 3)
 
 
+def test_sprites_vae_bf16_hybrid_heads():
+    """--bf16_hybrid mode: trunks compute in bfloat16, the head stages
+    (encoder Dense, decoder output Conv) in float32; parameters keep the
+    SAME pytree as the f32 net (flax param_dtype unchanged) so trained
+    checkpoints swap between modes."""
+    import numpy as np
+    images = jnp.ones((2, 64, 64, 3)) * 0.3
+    vae32 = nets.SpritesVAE(L=8)
+    vae_h = nets.SpritesVAE(L=8, dtype=jnp.bfloat16,
+                            head_dtype=jnp.float32)
+    params = vae32.init(KEY, images)
+    # same param structure -> hybrid apply works on f32-initialized params
+    mean, var = vae_h.apply(params, images, method=vae_h.encode)
+    assert mean.dtype == jnp.float32 and var.dtype == jnp.float32
+    recon = vae_h.apply(params, mean, method=vae_h.decode)
+    assert recon.dtype == jnp.float32
+    # and stays close to the f32 forward (trunks in bf16)
+    mean32, _ = vae32.apply(params, images, method=vae32.encode)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean32),
+                               atol=0.05)
+
+
 def test_sprites_repr_net_shapes():
     images = jnp.zeros((6, 64, 64, 3))
     net = nets.SpritesReprNet(L=16)

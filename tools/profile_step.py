@@ -380,9 +380,73 @@ def sprites_workload(base_reps):
                               jax.tree_util.tree_leaves(new))) * 1e-30
         return full_step_body
 
+    # ---- backward decomposition (VERDICT r3 item 3: the backward is
+    # ~69% of the step and was unexamined).  Per-component fwd+bwd
+    # probes (grad wrt the component's own params), then a layer-level
+    # decoder table: the decoder backward is the dominant share and its
+    # cost is resolution-dependent (conv at 64x64 does 16x the pixels of
+    # 16x16), so per-resolution conv probes name where it goes.
+    def grad_wrt(apply_fn, p, x):
+        def body(c):
+            g = jax.grad(lambda pp: jnp.sum(apply_fn(pp, x + c * 1e-30)))(p)
+            return sum(jnp.sum(v) for v in
+                       jax.tree_util.tree_leaves(g)) * 1e-30
+        return body
+
+    repr_bwd_body = grad_wrt(
+        lambda p, x: repr_net.apply(p, x), params["repr"], frames)
+    enc_bwd_body = grad_wrt(
+        lambda p, x: vae.apply(p, x, method=vae.encode)[0],
+        params["vae"], frames)
+    dec_bwd_body = grad_wrt(
+        lambda p, z: vae.apply(p, z, method=vae.decode),
+        params["vae"], latents)
+
+    def gp_bwd_body(c):
+        def gp_loss(mu):
+            p_m, p_v, mu_hat, A_hat = gpm.posterior_params(gp, aux0, aux0,
+                                                           mu, var0)
+            s, k = gpm.variational_loss(gp, aux0, mu, var0, mu_hat, A_hat)
+            ce = jnp.sum(linalg.gauss_cross_entropy(
+                p_m, jnp.maximum(p_v, 1e-6), mu, var0))
+            return jnp.sum(s) + jnp.sum(k) + ce
+        g = jax.grad(gp_loss)(mu0 + c * 1e-30)
+        return jnp.sum(g) * 1e-30
+
+    # per-resolution decoder conv probes: one Conv(16,3x3) fwd+bwd at
+    # each decoder feature-map size, plus the upsample and output conv
+    f = 16
+    import flax.linen as fnn
+
+    def conv_probe_body(res, cin, cout):
+        conv = fnn.Conv(cout, (3, 3), padding="SAME")
+        x = jnp.asarray(rng.rand(b, res, res, cin), jnp.float32)
+        p = conv.init(key, x)
+
+        def body(c):
+            g = jax.grad(lambda pp: jnp.sum(
+                fnn.elu(conv.apply(pp, x + c * 1e-30))))(p)
+            return sum(jnp.sum(v) for v in
+                       jax.tree_util.tree_leaves(g)) * 1e-30
+        return body
+
+    def upsample_bwd_body(c):
+        x = jnp.asarray(rng.rand(b, 32, 32, f), jnp.float32)
+        g = jax.grad(lambda xx: jnp.sum(nets.upsample2x(xx)))(x + c * 1e-30)
+        return jnp.sum(g) * 1e-30
+
     comps = time_components(
         (("repr_fwd", repr_body), ("encoder_fwd", enc_body),
          ("decoder_fwd", dec_body), ("gp_fwd", gp_body),
+         ("repr_fwd_bwd", repr_bwd_body),
+         ("encoder_fwd_bwd", enc_bwd_body),
+         ("decoder_fwd_bwd", dec_bwd_body),
+         ("gp_fwd_bwd", gp_bwd_body),
+         ("dec_conv16_fwd_bwd", conv_probe_body(16, f, f)),
+         ("dec_conv32_fwd_bwd", conv_probe_body(32, f, f)),
+         ("dec_conv64_fwd_bwd", conv_probe_body(64, f, f)),
+         ("dec_out_conv64_fwd_bwd", conv_probe_body(64, f, 3)),
+         ("upsample32_bwd", upsample_bwd_body),
          ("loss_fwd", fwd_body), ("loss_fwd_bwd", fwd_bwd_body),
          ("full_step", make_full_step(loss_fn, params))),
         base_reps)
@@ -407,6 +471,75 @@ def sprites_workload(base_reps):
     comps["full_step_bf16"] = {"ms": round(ms16, 4)}
     comps["bf16_step_speedup"] = round(comps["full_step"]["ms"] / ms16, 3)
     print(f"# full_step_bf16: {ms16:.4f} ms", file=sys.stderr, flush=True)
+
+    # ---- backward levers (VERDICT r3 item 3) ----
+    # (a) hybrid mixed precision: bf16 trunks, f32 heads (the driver's
+    #     --bf16_hybrid) — keeps the precision where it touches the
+    #     losses while riding most of the bf16 conv speedup
+    vae_h = nets.SpritesVAE(L=L, dtype=jnp.bfloat16,
+                            head_dtype=jnp.float32)
+    repr_h = nets.SpritesReprNet(L=L_char, dtype=jnp.bfloat16)
+    kappa_ = float(np.sqrt(0.0075))
+
+    def loss_hybrid(params_, frames_, key_, C_ma, lam):
+        out = models.forward_pass_svgpvae(
+            vae_h, params_["vae"], params_["gp"], (frames_, action_ids),
+            key_, beta=0.001, C_ma=C_ma, lagrange_mult=lam, alpha=0.99,
+            kappa=kappa_, clip_qs=True, geco=True,
+            repr_apply=repr_h.apply, repr_params=params_["repr"],
+            frames_per_char=fpc)
+        return out.elbo
+
+    msh = scan_time(make_full_step(loss_hybrid, params),
+                    reps=max(base_reps // 2, 10))
+    comps["full_step_bf16_hybrid"] = {
+        "ms": round(msh, 4),
+        "speedup_vs_f32": round(comps["full_step"]["ms"] / msh, 3)}
+    print(f"# full_step_bf16_hybrid: {msh:.4f} ms", file=sys.stderr,
+          flush=True)
+
+    # (b) rematerialized loss: trade backward memory/reads for
+    #     recompute — on an HBM-bound backward this can WIN
+    def remat_step_body(c):
+        remat_loss = jax.checkpoint(loss_fn, static_argnums=())
+        val, grads = jax.value_and_grad(remat_loss)(
+            params, frames + c * 1e-30, key, jnp.float32(0.0),
+            jnp.float32(1.0))
+        updates, _ = tx.update(grads, opt_state, params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return (val + sum(jnp.sum(x) for x in
+                          jax.tree_util.tree_leaves(new))) * 1e-30
+
+    msr = scan_time(remat_step_body, reps=max(base_reps // 2, 10))
+    comps["full_step_remat"] = {
+        "ms": round(msr, 4),
+        "speedup_vs_f32": round(comps["full_step"]["ms"] / msr, 3)}
+    print(f"# full_step_remat: {msr:.4f} ms", file=sys.stderr, flush=True)
+
+    # (c) ConvTranspose decoder probe: fuse each upsample+conv pair into
+    #     one strided transpose conv (perf shape probe only — different
+    #     parameterization, not the reference architecture)
+    class _CTDecoder(fnn.Module):
+        @fnn.compact
+        def __call__(self, z):
+            h = fnn.Dense(64 * f)(z).reshape(z.shape[0], 8, 8, f)
+            for _ in range(3):
+                h = fnn.elu(fnn.ConvTranspose(f, (3, 3),
+                                              strides=(2, 2),
+                                              padding="SAME")(h))
+                h = fnn.elu(fnn.Conv(f, (3, 3), padding="SAME")(h))
+            return fnn.elu(fnn.Conv(3, (3, 3), padding="SAME")(h))
+
+    ct = _CTDecoder()
+    ct_params = ct.init(key, latents)
+    ct_body = grad_wrt(lambda p, z: ct.apply(p, z), ct_params, latents)
+    msct = scan_time(ct_body, reps=max(base_reps // 2, 10))
+    comps["dec_convtranspose_fwd_bwd"] = {
+        "ms": round(msct, 4),
+        "vs_reference_decoder_fwd_bwd": round(
+            comps["decoder_fwd_bwd"]["ms"] / msct, 3)}
+    print(f"# dec_convtranspose_fwd_bwd: {msct:.4f} ms", file=sys.stderr,
+          flush=True)
 
     # channel-width probe (VERDICT r2 item 2): the reference's 16-filter
     # convs fill 16/128 MXU lanes; a 128-filter variant does ~35x the
@@ -470,7 +603,7 @@ def main():
     else:
         out = mnist_workload(base_reps)
     out = {"device": jax.devices()[0].device_kind, **out}
-    path = os.path.join(ROOT, f"PROFILE_r03_{args.workload}.json")
+    path = os.path.join(ROOT, f"PROFILE_r04_{args.workload}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -1,0 +1,149 @@
+"""Round-4 one-process TPU work queue (one chip, one process at a time;
+the tunnel wedges if two processes claim it or one is hard-killed —
+see CLAUDE.md).  Reuses the graceful runner from tools/tpu_round3.py.
+
+Wave 1 — Pearce inversion evidence (VERDICT r4... r3 item 2) + the
+  SPRITES backward profile (item 3): the CPU diagnostic showed Pearce's
+  trajectory MSE still falling steeply at 3k steps (1074 -> 143), so the
+  25k-step budget is the prime suspect; arms probe budget, seed,
+  --entropy_ce on the Pearce CE slot, and --GP_joint (per-channel
+  trainable length scales, new this round).
+
+Wave 2 — Casale converged-gap levers (item 4): alpha/noise trajectory
+  logging rides the driver's per-5-epoch GP-params print; arms probe the
+  softplus alpha reparameterization, GP-phase lr, and joint lr.
+
+Wave 3 — SPRITES quality gates for whichever backward lever won
+  (bf16_hybrid and/or remat), at the 30-epoch gate first, then 360.
+
+Usage: python tools/tpu_round4.py --wave N [--only NAME,..] [--skip ..]
+Logs: /tmp/r04_logs/<name>.log
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tpu_round3 import run  # noqa: E402  (graceful SIGINT runner)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MNIST = "/tmp/mnist_data/"
+SPRITES_FULL = "/tmp/sprites_full/"
+
+# round-4 log dir (tpu_round3.run writes to its LOGDIR; repoint it)
+import tpu_round3  # noqa: E402
+tpu_round3.LOGDIR = "/tmp/r04_logs"
+
+
+def ball_job(expid, extra, elbo="GPVAE_Pearce", steps=25000, timeout=1800):
+    py = sys.executable
+    cmd = [py, "-m", "svgpvae_tpu.cli.ball", "--elbo", elbo,
+           "--steps", str(steps), "--eval_every", "5000",
+           "--base_dir", "/tmp/ball_tpu", "--expid", expid, *extra]
+    return (expid, cmd, timeout)
+
+
+def casale_job(expid, extra, regime=("VAE-100", "GP-100", "joint-600"),
+               timeout=3600):
+    py = sys.executable
+    cmd = [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo", "GPVAE_Casale",
+           "--GP_joint", "--ov_joint", "--clip_qs", "--PCA",
+           "--mnist_data_path", MNIST, "--opt_regime", *regime,
+           "--base_dir", "/tmp/mnist_tpu", "--expid", expid, *extra]
+    return (expid, cmd, timeout)
+
+
+def sprites_job(expid, extra, epochs=30, timeout=2400):
+    py = sys.executable
+    cmd = [py, "-m", "svgpvae_tpu.cli.sprites", "--elbo",
+           "SVGPVAE_Hensman", "--GECO", "--clip_qs", "--synthetic",
+           "--synthetic_chars", "1000", "--sprites_data_path",
+           SPRITES_FULL, "--ip_joint", "--GPLVM_joint", "--PCA",
+           "--object_kernel_normalize", "--clip_grad",
+           "--opt_regime", f"joint-{epochs}", "--eval_every", "5",
+           "--nr_epochs_repr_nn", "40", "--base_dir", "/tmp/sprites_tpu",
+           "--expid", expid, *extra]
+    return (expid, cmd, timeout)
+
+
+def wave1():
+    py = sys.executable
+    return [
+        # SPRITES backward decomposition + levers (bf16_hybrid, remat,
+        # conv-transpose probe, per-resolution conv table)
+        ("sprites_profile",
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "sprites"], 2400),
+        # Pearce arms.  Baseline reproduce (round-1 record: 26.7 @25k)
+        ball_job("pearce_25k", []),
+        # budget hypothesis: CPU diagnostic still falling steeply at 3k
+        ball_job("pearce_100k", [], steps=100000, timeout=3000),
+        ball_job("pearce_250k", [], steps=250000, timeout=4200),
+        # entropy CE on the Pearce CE slot (VERDICT suggestion)
+        ball_job("pearce_ent_25k", ["--entropy_ce"]),
+        ball_job("pearce_ent_100k", ["--entropy_ce"], steps=100000,
+                 timeout=3000),
+        # per-channel trainable length scales (reference GP_joint path)
+        ball_job("pearce_gpj_25k", ["--GP_joint"]),
+        # seed sensitivity
+        ball_job("pearce_s1_25k", ["--seed", "1"]),
+    ]
+
+
+def wave2():
+    return [
+        # alpha/noise trajectory at the best known Casale budget
+        # (wave-18 record 0.03642 at VAE-100 GP-100 joint-1400); the
+        # driver prints alpha_raw + effective noise every 5 epochs
+        casale_job("cas_clamp_1400", [],
+                   regime=("VAE-100", "GP-100", "joint-1400"),
+                   timeout=5400),
+        casale_job("cas_softplus_1400", ["--casale_alpha_softplus"],
+                   regime=("VAE-100", "GP-100", "joint-1400"),
+                   timeout=5400),
+        # GP-phase lr sweep at the shorter 800-epoch budget
+        casale_job("cas_gplr003", ["--lr_gp", "0.003"]),
+        casale_job("cas_gplr03", ["--lr_gp", "0.03"]),
+        # joint-phase lr
+        casale_job("cas_lrj0003", ["--lr_joint", "0.003"]),
+        # denser regime interleave: alternate GP/joint after the warm-up
+        casale_job("cas_interleave",
+                   [], regime=("VAE-100", "GP-100", "joint-100", "GP-50",
+                               "joint-100", "GP-50", "joint-300")),
+    ]
+
+
+def wave3():
+    return [
+        # bf16_hybrid quality gates at full reference scale
+        sprites_job("sp_hybrid_30", ["--bf16_hybrid"]),
+        sprites_job("sp_hybrid_360", ["--bf16_hybrid"], epochs=360,
+                    timeout=7200),
+        sprites_job("sp_bf16_360_ctl", ["--bf16"], epochs=360,
+                    timeout=7200),
+    ]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--wave", type=int, required=True)
+    p.add_argument("--only", type=str, default=None)
+    p.add_argument("--skip", type=str, default="")
+    args = p.parse_args()
+
+    jobs = {1: wave1, 2: wave2, 3: wave3}[args.wave]()
+    only = set(args.only.split(",")) if args.only else None
+    skip = set(args.skip.split(",")) if args.skip else set()
+    for job in jobs:
+        name, cmd, timeout = job[:3]
+        extra_env = job[3] if len(job) > 3 else None
+        if (only and name not in only) or name in skip:
+            continue
+        run(name, cmd, timeout, extra_env)
+
+
+if __name__ == "__main__":
+    main()
