@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_dir", type=str, default=None,
                    help="existing run dir to resume into (restores the full "
                         "TrainState from its ckpt/ and keeps appending)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="train data-parallel over this many devices "
+                        "(-1 = all): parameters replicated, the on-device-"
+                        "generated video batch sharded over the mesh data "
+                        "axis inside the sample->train chunk program.  "
+                        "Requires 35 %% devices == 0 (batch is the "
+                        "reference's fixed 35) — 5 or 7.  0 disables.")
     return p
 
 
@@ -191,6 +198,23 @@ def run_experiment(args) -> dict:
 
     video_fn = data.make_video_batch_fn(tmax=tmax, px=px, py=py,
                                         lt=args.vidlt, batch=batch, r=r)
+
+    # --data_parallel: state replicated; the generated batch is pinned to
+    # the mesh's data axis with a sharding constraint INSIDE the chunk
+    # program, so every scanned train step runs SPMD (videos are
+    # device-generated — there is no host batch to shard)
+    from svgpvae_tpu import parallel
+    mesh = parallel.resolve_data_parallel(args.data_parallel, batch)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        print(f"data-parallel training over {mesh.devices.size} devices")
+        state = parallel.replicate(mesh, state)
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        base_video_fn = video_fn
+
+        def video_fn(key):  # noqa: F811 — sharded wrapper
+            return jax.lax.with_sharding_constraint(base_video_fn(key),
+                                                    batch_sharding)
 
     # run sample->train chunks as single XLA programs (per-step dispatch
     # through the device link costs ~3 round-trips/step otherwise)

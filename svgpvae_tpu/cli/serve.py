@@ -56,6 +56,17 @@ def _encode_chunked(vae, vae_params, images, clip_qs: bool,
     return jnp.concatenate(mus), jnp.concatenate(vs)
 
 
+def _mesh_if_divisible(mesh, n_rows: int):
+    """The N-sharded fit contraction needs N %% devices == 0 (the psum
+    shards the train axis evenly); fall back to unsharded otherwise
+    (e.g. N_train=4050 does not tile 8 devices)."""
+    if mesh is not None and n_rows % mesh.devices.size:
+        print(f"warning: N={n_rows} does not tile {mesh.devices.size} "
+              "devices; running the fit unsharded")
+        return None
+    return mesh
+
+
 def _restore_state(run_dir: str, params, tx):
     state = train.TrainState.create(params, tx, jax.random.PRNGKey(0))
     ckpt = os.path.join(run_dir, "ckpt")
@@ -120,6 +131,7 @@ def load_mnist_predictor(run_dir: str, mesh=None) -> dict:
     aux = jnp.asarray(train_d["aux_data"], jnp.float32)
     means, variances = _encode_chunked(vae, state.params["vae"], images,
                                        args.clip_qs)
+    mesh = _mesh_if_divisible(mesh, images.shape[0])
     predictor = serving.fit(state.params["gp"], means, variances, aux,
                             mesh=mesh)
     return {"predictor": predictor, "vae": vae,
@@ -195,6 +207,7 @@ def load_sprites_predictor(run_dir: str, mesh=None) -> dict:
                                        args.clip_qs)
     aux = models.sprites_aux_data(repr_net.apply, state.params["repr"],
                                   frames, action_ids, 50)
+    mesh = _mesh_if_divisible(mesh, frames.shape[0])
     predictor = serving.fit(state.params["gp"], means, variances, aux,
                             mesh=mesh)
     return {"predictor": predictor, "vae": vae,
@@ -240,9 +253,20 @@ def main(argv=None) -> dict:
                    help=".npy of (x, D) auxiliary-data query rows; "
                         "default: the run's test split")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the O(N) train-set conditioning (fit) "
+                        "over this many devices (-1 = all); the "
+                        "per-query predict stays replicated (m-sized)")
     args = p.parse_args(argv)
 
-    loaded = load_predictor(args.run_dir)
+    mesh = None
+    if args.data_parallel:
+        from svgpvae_tpu import parallel
+        n = args.data_parallel
+        mesh = parallel.make_mesh(None if n < 0 else n)
+        print(f"sharding fit over {mesh.devices.size} devices")
+
+    loaded = load_predictor(args.run_dir, mesh=mesh)
     predict = serving.make_predict_fn(loaded["predictor"], loaded["vae"],
                                       loaded["vae_params"],
                                       sample=not args.mean)

@@ -115,6 +115,25 @@ def test_sprites_driver_data_parallel_blocks_straddle_devices(tmp_path):
                                rtol=5e-4)
 
 
+def test_ball_driver_data_parallel_matches_single_device(tmp_path):
+    """The ball driver's device-GENERATED batches are pinned to the mesh
+    data axis by a sharding constraint inside the chunk program; the DP
+    run must land on the single-device trajectory (batch 35 tiles a
+    5-device mesh)."""
+    from svgpvae_tpu.cli import ball as ball_cli
+
+    def run(extra):
+        args = ball_cli.build_parser().parse_args([
+            "--elbo", "SVGPVAE_Hensman", "--clip_qs", "--steps", "40",
+            "--eval_every", "20", "--base_dir", str(tmp_path), *extra])
+        return ball_cli.run_experiment(args)
+
+    ref = run([])
+    dp = run(["--data_parallel", "5"])
+    assert np.isfinite(dp["mse"])
+    np.testing.assert_allclose(dp["mse"], ref["mse"], rtol=5e-3)
+
+
 def test_casale_step_under_mesh():
     """One Casale training step (the full-train encode + Taylor
     coefficients closed over, batch sharded) on the 8-device mesh equals
