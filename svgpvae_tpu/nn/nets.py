@@ -35,9 +35,16 @@ def safe_exp(x, cap: float = 15.0):
 
 
 def upsample2x(x: Array) -> Array:
-    """Nearest-neighbour 2x spatial upsampling, NHWC (keras UpSampling2D)."""
-    x = jnp.repeat(x, 2, axis=1)
-    return jnp.repeat(x, 2, axis=2)
+    """Nearest-neighbour 2x spatial upsampling, NHWC (keras UpSampling2D).
+
+    Implemented as broadcast + reshape rather than jnp.repeat: identical
+    values, but the VJP is a contiguous (h, 2, w, 2) window-sum reshape
+    instead of repeat's gather-transpose — measurably cheaper in the
+    SPRITES decoder backward (tools/profile_step.py upsample probes).
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
 
 
 # ---------------------------------------------------------------------------

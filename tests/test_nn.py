@@ -118,3 +118,19 @@ def test_upsample2x():
     up = nets.upsample2x(x)
     assert up.shape == (1, 4, 4, 1)
     np.testing.assert_allclose(up[0, :2, :2, 0], x[0, 0, 0, 0])
+
+
+def test_upsample2x_matches_repeat_values_and_vjp():
+    """The broadcast+reshape upsample2x must be bit-equal to the
+    jnp.repeat formulation (keras UpSampling2D semantics) in both the
+    primal and the VJP — it exists only as a cheaper-backward rewrite."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(3, 8, 8, 4), jnp.float32)
+    ref_fn = lambda v: jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    np.testing.assert_array_equal(np.asarray(nets.upsample2x(x)),
+                                  np.asarray(ref_fn(x)))
+    ct = jnp.asarray(rng.rand(3, 16, 16, 4), jnp.float32)
+    g_new = jax.vjp(nets.upsample2x, x)[1](ct)[0]
+    g_ref = jax.vjp(ref_fn, x)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=0, atol=0)

@@ -435,6 +435,15 @@ def sprites_workload(base_reps):
         g = jax.grad(lambda xx: jnp.sum(nets.upsample2x(xx)))(x + c * 1e-30)
         return jnp.sum(g) * 1e-30
 
+    def upsample_repeat_bwd_body(c):
+        # the pre-round-4 jnp.repeat formulation, kept as the head-to-head
+        # baseline for the broadcast+reshape upsample2x
+        x = jnp.asarray(rng.rand(b, 32, 32, f), jnp.float32)
+        g = jax.grad(lambda xx: jnp.sum(
+            jnp.repeat(jnp.repeat(xx, 2, axis=1), 2, axis=2)))(
+            x + c * 1e-30)
+        return jnp.sum(g) * 1e-30
+
     comps = time_components(
         (("repr_fwd", repr_body), ("encoder_fwd", enc_body),
          ("decoder_fwd", dec_body), ("gp_fwd", gp_body),
@@ -447,6 +456,7 @@ def sprites_workload(base_reps):
          ("dec_conv64_fwd_bwd", conv_probe_body(64, f, f)),
          ("dec_out_conv64_fwd_bwd", conv_probe_body(64, f, 3)),
          ("upsample32_bwd", upsample_bwd_body),
+         ("upsample32_repeat_bwd", upsample_repeat_bwd_body),
          ("loss_fwd", fwd_body), ("loss_fwd_bwd", fwd_bwd_body),
          ("full_step", make_full_step(loss_fn, params))),
         base_reps)
