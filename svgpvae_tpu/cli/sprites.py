@@ -113,6 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "— probes whether uniform bf16's converged-"
                         "horizon quality floor (RESULTS.md wave 24) "
                         "lives in the heads")
+    p.add_argument("--fused_upsample", action="store_true",
+                   help="compute each decoder upsample2x+Conv pair as a "
+                        "single conv at the pre-upsample resolution "
+                        "(exact rewrite, same parameter tree — "
+                        "nn.FusedUpsampleConv2x); perf knob, measured in "
+                        "tools/profile_step.py --workload sprites")
     p.add_argument("--gp_block_impl", type=str, default="auto",
                    choices=["reference", "fused", "fused_pallas",
                             "fused_rejitter", "auto"],
@@ -278,7 +284,8 @@ def run_experiment(args) -> dict:
                  else jnp.float32)
     vae = nets.SpritesVAE(L=args.L, dtype=net_dtype,
                           head_dtype=jnp.float32
-                          if args.bf16_hybrid else None)
+                          if args.bf16_hybrid else None,
+                          fused_upsample=args.fused_upsample)
     dummy = jnp.zeros((2, 64, 64, 3))
     vae_params = vae.init(key, dummy)
     params = {"vae": vae_params}

@@ -9,5 +9,6 @@ from svgpvae_tpu.nn.nets import (  # noqa: F401
     SpritesReprNet,
     ClassificationHead,
     SVIGPDecoder,
+    FusedUpsampleConv2x,
     upsample2x,
 )

@@ -18,7 +18,7 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
-from jax import Array
+from jax import Array, lax
 
 
 def safe_exp(x, cap: float = 15.0):
@@ -45,6 +45,66 @@ def upsample2x(x: Array) -> Array:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class FusedUpsampleConv2x(nn.Module):
+    """Exact fusion of ``Conv3x3(SAME)(upsample2x(x))`` computed at the
+    PRE-upsample resolution.
+
+    Nearest-neighbour 2x upsampling makes every 3x3 window cover at most
+    2x2 DISTINCT source pixels, with the multiplicity pattern fixed by the
+    output parity (a, b) = (row % 2, col % 2):
+
+        a = 0 -> source rows (i-1, i) with weights (w0, w1 + w2)
+        a = 1 -> source rows (i, i+1) with weights (w0 + w1, w2)
+
+    (and the same along columns), so the four parities are four 2x2
+    kernels that are fixed linear combinations of the stored 3x3 kernel.
+    All four run as ONE 2x2 VALID conv with ``4 * features`` output
+    channels over the once-padded input — a parity's output is a shifted
+    slice of that conv — followed by a pixel shuffle.  Versus
+    materializing the upsample this is ~2.1x fewer MACs, reads the input
+    at quarter the pixel count, and fills 4x the MXU output lanes (the
+    reference's 16-filter convs occupy 16/128 lanes).
+
+    Parameters are stored EXACTLY as ``nn.Conv`` stores them (``kernel``
+    (3, 3, in, features) HWIO + ``bias``), so swapping a decoder between
+    the materialized and fused paths preserves the checkpoint tree and
+    the math (values match to float-addition reassociation; pinned by
+    tests/test_nn.py::test_fused_upsample_conv_matches_reference).
+    Reference decoder semantics: VAE_utils.py:275-360 (keras
+    UpSampling2D + Conv2D(SAME) pairs).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # parity combination matrix A[a, r, kh]: fused tap r of parity a
+        # collects original taps kh (rows above; columns identically)
+        comb = jnp.array([[[1., 0., 0.], [0., 1., 1.]],
+                          [[1., 1., 0.], [0., 0., 1.]]], jnp.float32)
+        fused = jnp.einsum("arh,bsw,hwio->rsiabo", comb, comb,
+                           kernel.astype(jnp.float32))
+        fused = fused.reshape(2, 2, cin, 4 * self.features)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = lax.conv_general_dilated(
+            xp, fused.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(b, h + 1, w + 1, 2, 2, self.features)
+        row0 = jnp.stack([y[:, 0:h, 0:w, 0, 0], y[:, 0:h, 1:w + 1, 0, 1]],
+                         axis=3)
+        row1 = jnp.stack([y[:, 1:h + 1, 0:w, 1, 0],
+                          y[:, 1:h + 1, 1:w + 1, 1, 1]], axis=3)
+        out = jnp.stack([row0, row1], axis=2)  # (b, h, 2, w, 2, f)
+        out = out.reshape(b, 2 * h, 2 * w, self.features)
+        return out + bias.astype(self.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +315,11 @@ class SpritesVAE(nn.Module):
     # (the variance head feeds exp -> GP precisions; the output conv
     # feeds the pixel MSE).
     head_dtype: object = None
+    # Compute each upsample2x+Conv pair as a FusedUpsampleConv2x at the
+    # pre-upsample resolution (exact rewrite, same parameter tree —
+    # checkpoints interop both ways).  Perf knob measured in
+    # tools/profile_step.py --workload sprites.
+    fused_upsample: bool = False
 
     def setup(self):
         f = self.filters
@@ -266,8 +331,11 @@ class SpritesVAE(nn.Module):
         self.enc_out = nn.Dense(2 * self.L, dtype=hd)
         self.dec_in = nn.Dense(64 * f, dtype=self.dtype)
         self.dec_convs = [
-            nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
-                    name=f"dec_conv{i}") for i in range(6)]
+            (FusedUpsampleConv2x(features=f, dtype=self.dtype,
+                                 name=f"dec_conv{i}")
+             if self.fused_upsample and i % 2 == 0 else
+             nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
+                     name=f"dec_conv{i}")) for i in range(6)]
         self.dec_out = nn.Conv(3, (3, 3), padding="SAME", dtype=hd)
 
     def encode(self, images: Array) -> Tuple[Array, Array]:
@@ -282,7 +350,8 @@ class SpritesVAE(nn.Module):
         h = self.dec_in(latents.astype(self.dtype))
         h = h.reshape(h.shape[0], 8, 8, self.filters)
         for i in range(3):
-            h = upsample2x(h)
+            if not self.fused_upsample:
+                h = upsample2x(h)  # fused conv upsamples internally
             h = nn.elu(self.dec_convs[2 * i](h))
             h = nn.elu(self.dec_convs[2 * i + 1](h))
         return nn.elu(self.dec_out(

@@ -120,6 +120,58 @@ def test_upsample2x():
     np.testing.assert_allclose(up[0, :2, :2, 0], x[0, 0, 0, 0])
 
 
+def test_fused_upsample_conv_matches_reference():
+    """FusedUpsampleConv2x must be an exact rewrite of
+    Conv3x3(SAME)(upsample2x(x)): same parameter tree (checkpoint
+    interop), same values and input/parameter gradients to float
+    reassociation tolerance — including at image borders, where the
+    collapsed 2x2 taps must see the same zero padding."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 5), jnp.float32)
+
+    from flax import linen
+    ref = linen.Conv(7, (3, 3), padding="SAME", name="c")
+    fused = nets.FusedUpsampleConv2x(features=7, name="c")
+    p_ref = ref.init(KEY, nets.upsample2x(x))
+    p_fused = fused.init(KEY, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), p_ref, p_fused)
+
+    y_ref = ref.apply(p_ref, nets.upsample2x(x))
+    y_fused = fused.apply(p_ref, x)
+    assert y_fused.shape == (2, 16, 16, 7)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-6, atol=2e-6)
+
+    def loss_ref(p, v):
+        return jnp.sum(jnp.sin(ref.apply(p, nets.upsample2x(v))))
+
+    def loss_fused(p, v):
+        return jnp.sum(jnp.sin(fused.apply(p, v)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(p_ref, x)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(p_ref, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-6),
+        g_ref, g_fused)
+
+
+def test_sprites_vae_fused_upsample_parity():
+    """The fused SpritesVAE decode must match the materialized decode on
+    the SAME parameters (identical tree) end to end."""
+    vae = nets.SpritesVAE(L=8, filters=4)
+    vae_fused = nets.SpritesVAE(L=8, filters=4, fused_upsample=True)
+    z = jnp.asarray(np.random.RandomState(2).randn(3, 8), jnp.float32)
+    params = vae.init(KEY, jnp.zeros((3, 64, 64, 3)))
+    out = vae.apply(params, z, method=nets.SpritesVAE.decode)
+    out_f = vae_fused.apply(params, z, method=nets.SpritesVAE.decode)
+    assert out_f.shape == out.shape == (3, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_upsample2x_matches_repeat_values_and_vjp():
     """The broadcast+reshape upsample2x must be bit-equal to the
     jnp.repeat formulation (keras UpSampling2D semantics) in both the

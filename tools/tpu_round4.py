@@ -94,7 +94,13 @@ def wave1():
 
 
 def wave2():
+    py = sys.executable
     return [
+        # fused upsample+conv decoder probe (added after wave 1): exact
+        # rewrite, measured head-to-head in the same profile run
+        ("sprites_profile_fusedup",
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "sprites"], 2400),
         # alpha/noise trajectory at the best known Casale budget
         # (wave-18 record 0.03642 at VAE-100 GP-100 joint-1400); the
         # driver prints alpha_raw + effective noise every 5 epochs
