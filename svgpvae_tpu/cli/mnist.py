@@ -98,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "through floor clamp (PARITY.md #7); probes "
                         "whether the converged Casale gap is an "
                         "alpha-at-the-floor artifact")
+    p.add_argument("--casale_alpha_max", type=float, default=0.0,
+                   help="straight-through CEILING on the Casale latent-GP "
+                        "noise (0 = uncapped, reference semantics).  "
+                        "Breaks the ELBO-ascending amp^2/|ov|^2/alpha "
+                        "scale ridge that drifts the noise to 17+ over "
+                        "1400 joint epochs while cgen stalls "
+                        "(RESULTS.md round 4)")
     p.add_argument("--N_t", type=int, default=None)
     # runtime extensions
     p.add_argument("--eval_every", type=int, default=10,
@@ -1099,7 +1106,8 @@ def run_casale(args) -> dict:
                             object_kernel_normalize=args.object_kernel_normalize,
                             ov_joint=args.ov_joint, jitter=args.jitter,
                             alpha_transform="softplus"
-                            if args.casale_alpha_softplus else "clamp")
+                            if args.casale_alpha_softplus else "clamp",
+                            alpha_max=args.casale_alpha_max)
     params = {"vae": vae_params, "gp": gp}
 
     full_images = jnp.asarray(train_d["images"], jnp.float32)

@@ -47,12 +47,21 @@ class CasaleGP:
     # positive reparameterization, the VERDICT r3 item 4 experiment: is
     # the Casale converged gap caused by alpha pinning at the floor?)
     alpha_transform: str = struct.field(pytree_node=False, default="clamp")
+    # Straight-through CEILING on the latent-GP noise (0 = uncapped, the
+    # reference semantics).  Round-4 wave-2 trajectory logging showed the
+    # free alpha drifts up without bound during joint training
+    # (0.1 -> 17+ over 1400 epochs) while amp^2/|ov|^2 co-drift keeps the
+    # GP signal-to-noise pinned ~0.2 — an ELBO-ascending scale ridge that
+    # progressively flattens the GP smoother cgen relies on (RESULTS.md
+    # round 4).  The cap breaks the ridge without touching the floor.
+    alpha_max: float = struct.field(pytree_node=False, default=0.0)
 
 
 def init_casale_gp(object_vectors_init, object_kernel_normalize: bool,
                    ov_joint: bool, jitter: float = 1e-6,
                    dtype=jnp.float32,
-                   alpha_transform: str = "clamp") -> CasaleGP:
+                   alpha_transform: str = "clamp",
+                   alpha_max: float = 0.0) -> CasaleGP:
     import numpy as np
     alpha0 = 0.1
     raw = (np.log(np.expm1(alpha0)) if alpha_transform == "softplus"
@@ -66,6 +75,7 @@ def init_casale_gp(object_vectors_init, object_kernel_normalize: bool,
         ov_joint=ov_joint,
         jitter=jitter,
         alpha_transform=alpha_transform,
+        alpha_max=alpha_max,
     )
 
 
@@ -73,10 +83,15 @@ def casale_noise(gp: "CasaleGP"):
     """Raw alpha parameter -> (pre-floor) noise value per alpha_transform.
     Consumers still pass the result through `effective_alpha` (a no-op
     above the floor; softplus output is always positive so the floor
-    never binds there)."""
-    if gp.alpha_transform == "softplus":
-        return jax.nn.softplus(gp.alpha)
-    return gp.alpha
+    never binds there).  When `gp.alpha_max > 0` the value is ceilinged
+    with the same straight-through trick as the floor (identity gradient,
+    so a raw alpha driven above the cap can still train back down)."""
+    noise = (jax.nn.softplus(gp.alpha)
+             if gp.alpha_transform == "softplus" else gp.alpha)
+    if gp.alpha_max > 0:
+        capped = jnp.minimum(noise, gp.alpha_max)
+        noise = noise + jax.lax.stop_gradient(capped - noise)
+    return noise
 
 
 def casale_kernel_matrix(gp: CasaleGP, x: Array, y: Array,

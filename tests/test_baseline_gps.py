@@ -126,6 +126,39 @@ def test_casale_alpha_softplus_transform():
     assert float(jax.grad(noise_of)(deep)) > 0.0
 
 
+def test_casale_alpha_max_cap():
+    """alpha_max ceilings the noise VALUE with an identity gradient
+    (straight-through, mirroring the floor), and alpha_max=0 (the
+    default / reference semantics) is a no-op."""
+    import jax
+    from svgpvae_tpu.gp.casale import casale_noise
+
+    ov = RNG.randn(4, 3)
+    gp = gpm.init_casale_gp(ov, object_kernel_normalize=False,
+                            ov_joint=True, alpha_max=1.0)
+    gp_off = gpm.init_casale_gp(ov, object_kernel_normalize=False,
+                                ov_joint=True)
+
+    def noise_of(g, raw):
+        return casale_noise(g.replace(alpha=raw))
+
+    above = jnp.asarray(17.0)
+    below = jnp.asarray(0.4)
+    assert float(noise_of(gp, above)) == pytest.approx(1.0)
+    assert float(noise_of(gp, below)) == pytest.approx(0.4)
+    assert float(noise_of(gp_off, above)) == pytest.approx(17.0)
+    # straight-through: gradient stays identity on both sides of the cap
+    assert float(jax.grad(lambda a: noise_of(gp, a))(above)) == 1.0
+    assert float(jax.grad(lambda a: noise_of(gp, a))(below)) == 1.0
+    # composes with softplus: cap applies to the transformed value
+    gp_sp = gpm.init_casale_gp(ov, object_kernel_normalize=False,
+                               ov_joint=True, alpha_transform="softplus",
+                               alpha_max=1.0)
+    assert float(noise_of(gp_sp, jnp.asarray(30.0))) == pytest.approx(1.0)
+    assert float(jax.grad(lambda a: noise_of(gp_sp, a))(
+        jnp.asarray(30.0))) == pytest.approx(1.0)
+
+
 def test_casale_k_inv_woodbury():
     gp, ov, angles, mask = _make_casale()
     V = np.asarray(gpm.v_matrix(gp, jnp.asarray(angles), jnp.arange(len(ov)),
