@@ -122,6 +122,24 @@ def wave2():
     ]
 
 
+def wave4():
+    return [
+        # alpha ceiling arms at the record Casale budget (wave-18 record
+        # 0.03642 at VAE-100 GP-100 joint-1400): wave-2 trajectory logging
+        # showed the free noise drifting 0.1 -> 17+ with GP SNR pinned
+        # ~0.2 while cgen stalls at ~0.039 — cap the ridge and measure
+        casale_job("cas_amax1", ["--casale_alpha_max", "1.0"],
+                   regime=("VAE-100", "GP-100", "joint-1400"),
+                   timeout=5400),
+        casale_job("cas_amax03", ["--casale_alpha_max", "0.3"],
+                   regime=("VAE-100", "GP-100", "joint-1400"),
+                   timeout=5400),
+        casale_job("cas_amax3", ["--casale_alpha_max", "3.0"],
+                   regime=("VAE-100", "GP-100", "joint-1400"),
+                   timeout=5400),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -140,7 +158,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
