@@ -430,6 +430,25 @@ def sprites_workload(base_reps):
                        jax.tree_util.tree_leaves(g)) * 1e-30
         return body
 
+    def conv_probe_nchw_body(res, cin, cout):
+        # layout lever (VERDICT r3 item 3): the same Conv(3x3)+elu
+        # fwd+bwd with the tensors held feature-major (NCHW) instead of
+        # flax's NHWC default, so XLA's layout assignment sees the other
+        # canonical ordering.  Grad wrt weights, like conv_probe_body.
+        x = jnp.asarray(rng.rand(b, cin, res, res), jnp.float32)
+        w = jnp.asarray(rng.randn(cout, cin, 3, 3) / np.sqrt(9 * cin),
+                        jnp.float32)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
+
+        def body(c):
+            g = jax.grad(lambda ww: jnp.sum(fnn.elu(
+                jax.lax.conv_general_dilated(
+                    x + c * 1e-30, ww, (1, 1), "SAME",
+                    dimension_numbers=dn))))(w)
+            return jnp.sum(g) * 1e-30
+        return body
+
     def upsample_bwd_body(c):
         x = jnp.asarray(rng.rand(b, 32, 32, f), jnp.float32)
         g = jax.grad(lambda xx: jnp.sum(nets.upsample2x(xx)))(x + c * 1e-30)
@@ -455,6 +474,8 @@ def sprites_workload(base_reps):
          ("dec_conv32_fwd_bwd", conv_probe_body(32, f, f)),
          ("dec_conv64_fwd_bwd", conv_probe_body(64, f, f)),
          ("dec_out_conv64_fwd_bwd", conv_probe_body(64, f, 3)),
+         ("dec_conv64_nchw_fwd_bwd", conv_probe_nchw_body(64, f, f)),
+         ("dec_conv32_nchw_fwd_bwd", conv_probe_nchw_body(32, f, f)),
          ("upsample32_bwd", upsample_bwd_body),
          ("upsample32_repeat_bwd", upsample_repeat_bwd_body),
          ("loss_fwd", fwd_body), ("loss_fwd_bwd", fwd_bwd_body),

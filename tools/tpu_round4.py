@@ -140,6 +140,47 @@ def wave4():
     ]
 
 
+def wave5():
+    py = sys.executable
+
+    def mnist36_job(expid, extra, epochs=2000, timeout=3600):
+        cmd = [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+               "SVGPVAE_Hensman", "--GECO", "--PCA", "--ip_joint",
+               "--GP_joint", "--ov_joint", "--clip_qs",
+               "--dataset", "13679", "--mnist_data_path",
+               "/tmp/mnist36_data/", "--kappa_squared", "0.016",
+               "--epoch_chunk", "50", "--opt_regime", f"joint-{epochs}",
+               "--eval_every", "50", "--base_dir", "/tmp/mnist_tpu",
+               "--expid", expid, *extra]
+        return (expid, cmd, timeout)
+
+    return [
+        # refreshed component profiles: NCHW layout probes on SPRITES
+        # (VERDICT r3 item 3's one unmeasured lever) + the MNIST profile
+        # for PROFILE_r04 symmetry with round 3
+        ("mnist_profile",
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "mnist"], 2400),
+        ("sprites_profile_nchw",
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "sprites"], 2400),
+        # Hensman family-instability diagnosis: identical 360-epoch
+        # full-scale f32 runs (the wave-24/27 band shows same-seed
+        # bimodality: 0.01185/0.01383 vs plateau draws at 0.02035).
+        # Run dirs stream per-epoch ELBO components + lagrange_mult +
+        # GP params; a plateau draw vs a record draw pins WHERE the
+        # trajectories fork.
+        sprites_job("sp_diag_a", [], epochs=360, timeout=2400),
+        sprites_job("sp_diag_b", [], epochs=360, timeout=2400),
+        sprites_job("sp_diag_c", ["--seed", "2"], epochs=360,
+                    timeout=2400),
+        # multi-digit converged-horizon records (current RECORDS row is
+        # a single 200-epoch run): best single-digit config transferred
+        mnist36_job("mnist36_k016_2k", []),
+        mnist36_job("mnist36_k016_2k_s1", ["--seed", "1"]),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -158,7 +199,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
