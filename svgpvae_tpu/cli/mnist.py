@@ -129,7 +129,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "high-latency device links")
     p.add_argument("--gp_block_impl", type=str, default="auto",
                    choices=["reference", "fused", "fused_pallas",
-                            "fused_rejitter", "auto"],
+                            "fused_rejitter", "fused_rejitter_pallas", "auto"],
                    help="GP-block implementation for the Hensman training "
                         "forward: two-pass reference structure, one-pass "
                         "fused XLA block, fused with the Pallas inverse "

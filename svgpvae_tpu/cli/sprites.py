@@ -121,7 +121,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "tools/profile_step.py --workload sprites")
     p.add_argument("--gp_block_impl", type=str, default="auto",
                    choices=["reference", "fused", "fused_pallas",
-                            "fused_rejitter", "auto"],
+                            "fused_rejitter", "fused_rejitter_pallas", "auto"],
                    help="GP-block implementation for the Hensman training "
                         "forward (see gp/fused.py); auto = reference on "
                         "SPRITES on every backend (the fused closed-form "

@@ -71,9 +71,11 @@ def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
                   it with jitter — the exact two-pass/reference KL
                   (mvn_kl_against_prior on the shared Kmm_chol), at the
                   cost of one extra batched (L, m, m) matmul + Cholesky.
-                  Null-space-safe; requires inverse_impl="chol" (the
-                  explicit-inverse path additionally corrupts p_m on
-                  such spectra, so it is never the right pairing).
+                  Null-space-safe.  With inverse_impl="pallas" the same
+                  rejittered KL is evaluated from the Gauss-Jordan
+                  inverse stack (trace/quad via Kmm_inv) plus a second
+                  chol_inverse call on the jittered A_hat for its
+                  logdet — same formula, no Cholesky on the hot path.
 
     Equivalent to
         posterior_params(gp, aux, aux, y, noise) +
@@ -82,8 +84,6 @@ def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
     with kl_impl="rejitter" the KL parity is exact even on
     rank-deficient kernels).
     """
-    if kl_impl == "rejitter" and inverse_impl != "chol":
-        raise ValueError("kl_impl='rejitter' requires inverse_impl='chol'")
     cfg = gp.config
     b, L = y.shape
     dtype = y.dtype
@@ -151,7 +151,21 @@ def gp_block_hensman(gp, aux: Array, y: Array, noise: Array,
 
     mu_hat = scale * jnp.einsum("mp,lp->lm", Kmm, sir)    # (L, m)
 
-    if kl_impl == "rejitter":
+    if kl_impl == "rejitter" and inverse_impl == "pallas":
+        # The same two-pass rejittered KL, evaluated from the
+        # Gauss-Jordan inverse stack: A_hat = Kmm Sigma^{-1} Kmm via two
+        # batched matmuls, its logdet through a SECOND chol_inverse call
+        # on the jittered A_hat (only the logdet feeds the KL; the
+        # custom VJP differentiates it through the returned inverse),
+        # trace and quad directly via Kmm_inv.
+        E = Sigma_inv @ jnp.broadcast_to(Kmm, Sigma.shape)  # (L, m, m)
+        A_hat = Kmm[None] @ E
+        _, logdet_A = chol_inverse(linalg.add_jitter(A_hat, cfg.jitter))
+        tr_KiA = jnp.sum(Kmm_inv[None] * A_hat, axis=(-2, -1))
+        quad_mu = jnp.einsum("lm,mp,lp->l", mu_hat, Kmm_inv, mu_hat)
+        kl_terms = 0.5 * (logdet_K - logdet_A
+                          - jnp.asarray(m, dtype) + tr_KiA + quad_mu)
+    elif kl_impl == "rejitter":
         # KL exactly as the two-pass path computes it (gp/svgp.py
         # posterior_params + hensman_terms): materialize
         # A_hat = Kmm Sigma^{-1} Kmm from the already-available

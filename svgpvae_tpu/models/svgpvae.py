@@ -166,7 +166,7 @@ def forward_pass_svgpvae(
     bit-parity with the reference.
     """
     assert gp_block_impl in ("reference", "fused", "fused_pallas",
-                             "fused_rejitter"), \
+                             "fused_rejitter", "fused_rejitter_pallas"), \
         gp_block_impl  # "auto" must be resolved by the caller
     images, aux_data = batch
     b = images.shape[0]
@@ -199,21 +199,24 @@ def forward_pass_svgpvae(
     #   "fused_rejitter" fused block with the two-pass A_hat-rejittered KL
     #                    (null-space-safe on rank-deficient kernels, e.g.
     #                    SPRITES product-linear at m=72; PARITY.md #10)
+    #   "fused_rejitter_pallas"  the rejittered KL evaluated from the
+    #                    Pallas inverse megakernel stack (a second
+    #                    chol_inverse call supplies logdet A_hat)
     # Titsias configs route to gp_block_titsias (no q(u) KL; the rejitter
     # distinction does not arise there).
     use_fused = gp_block_impl != "reference" and not bias_analysis
     if use_fused and gp_params.config.titsias:
         p_m, p_v, sum_terms, kl_terms, _ = gpm.gp_block_titsias(
             gp_params, aux_data, qnet_mu, qnet_var,
-            inverse_impl="pallas" if gp_block_impl == "fused_pallas"
-            else "chol")
+            inverse_impl="pallas" if gp_block_impl in
+            ("fused_pallas", "fused_rejitter_pallas") else "chol")
     elif use_fused:
         p_m, p_v, sum_terms, kl_terms, _ = gpm.gp_block_hensman(
             gp_params, aux_data, qnet_mu, qnet_var,
-            inverse_impl="pallas" if gp_block_impl == "fused_pallas"
-            else "chol",
-            kl_impl="rejitter" if gp_block_impl == "fused_rejitter"
-            else "identity")
+            inverse_impl="pallas" if gp_block_impl in
+            ("fused_pallas", "fused_rejitter_pallas") else "chol",
+            kl_impl="rejitter" if gp_block_impl in
+            ("fused_rejitter", "fused_rejitter_pallas") else "identity")
     else:
         p_m, p_v, mu_hat, A_hat = gpm.posterior_params(
             gp_params, aux_data, aux_data, qnet_mu, qnet_var)

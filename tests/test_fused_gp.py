@@ -257,11 +257,42 @@ def test_fused_rejitter_matches_two_pass(problem):
                                    atol=2e-4, err_msg=name)
 
 
-def test_fused_rejitter_requires_chol():
-    gp, aux, y, noise = _mnist_problem()
-    with pytest.raises(ValueError):
-        gpm.gp_block_hensman(gp, aux, y, noise, inverse_impl="pallas",
-                             kl_impl="rejitter")
+@pytest.mark.parametrize("problem", [_mnist_problem, _sprites_problem])
+def test_fused_rejitter_pallas_matches_two_pass(problem, monkeypatch):
+    """inverse_impl='pallas' + kl_impl='rejitter' (the CLI's
+    fused_rejitter_pallas): the SAME rejittered KL evaluated from the
+    Gauss-Jordan inverse stack plus a second chol_inverse call for
+    logdet A_hat — every output pinned to the two-pass path."""
+    monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, aux, y, noise = problem()
+    want = _reference_block(gp, aux, y, noise)
+    got = gpm.gp_block_hensman(gp, aux, y, noise, inverse_impl="pallas",
+                               kl_impl="rejitter")
+    names = ["p_m", "p_v", "sum_terms", "kl_terms", "mu_hat"]
+    for name, g, w in zip(names, got, want):
+        w = np.asarray(w)
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
+                                   atol=5e-4, err_msg=name)
+
+
+def test_fused_rejitter_pallas_gradients_match_chol_rejitter(monkeypatch):
+    """The second chol_inverse call's custom VJP must carry d logdet
+    A_hat correctly: gradients of sum(kl_terms) wrt the encoder inputs
+    agree between the pallas-rejitter and chol-rejitter paths."""
+    monkeypatch.setenv("SVGPVAE_CHOL_INVERSE", "pallas")
+    gp, aux, y, noise = _sprites_problem()
+
+    def kl_sum(y_, impl):
+        out = gpm.gp_block_hensman(gp, aux, y_, noise,
+                                   inverse_impl=impl, kl_impl="rejitter")
+        return jnp.sum(out[3])
+
+    g_chol = jax.grad(lambda y_: kl_sum(y_, "chol"))(y)
+    g_pl = jax.grad(lambda y_: kl_sum(y_, "pallas"))(y)
+    scale = max(float(jnp.abs(g_chol).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(g_pl) / scale,
+                               np.asarray(g_chol) / scale, atol=1e-3)
 
 
 def test_fused_rejitter_matches_two_pass_on_rank_deficient_kernel():
@@ -287,13 +318,17 @@ def test_fused_rejitter_matches_two_pass_on_rank_deficient_kernel():
         noise = jnp.asarray(R.rand(b, L) * 0.01 + 0.001, jnp.float64)
 
         want = _reference_block(gp, aux, y, noise)
-        got = gpm.gp_block_hensman(gp, aux, y, noise, kl_impl="rejitter")
         names = ["p_m", "p_v", "sum_terms", "kl_terms", "mu_hat"]
-        for name, g, w in zip(names, got, want):
-            w = np.asarray(w)
-            scale = max(np.abs(w).max(), 1.0)
-            np.testing.assert_allclose(np.asarray(g) / scale, w / scale,
-                                       atol=1e-8, err_msg=name)
+        for impl, atol in (("chol", 1e-8), ("pallas", 1e-6)):
+            got = gpm.gp_block_hensman(gp, aux, y, noise,
+                                       inverse_impl=impl,
+                                       kl_impl="rejitter")
+            for name, g, w in zip(names, got, want):
+                w = np.asarray(w)
+                scale = max(np.abs(w).max(), 1.0)
+                np.testing.assert_allclose(
+                    np.asarray(g) / scale, w / scale, atol=atol,
+                    err_msg=f"{impl}:{name}")
     finally:
         jax.config.update("jax_enable_x64", False)
 
