@@ -181,6 +181,24 @@ def wave5():
     ]
 
 
+def wave6():
+    return [
+        # fused_rejitter_pallas on SPRITES: the rejittered (null-space-
+        # safe) KL evaluated from the Pallas inverse stack.  wave-9 (r3)
+        # showed fused_pallas at 8.38 ms vs 9.96 two-pass but with the
+        # diverging identity KL; rejitter-chol was quality-correct but
+        # speed-neutral (9.62).  This pairing is the remaining cell of
+        # that matrix: quality gate at 30 ep + step timing, then the
+        # converged 360-ep horizon.
+        sprites_job("sp_frp_30", ["--gp_block_impl",
+                                  "fused_rejitter_pallas"],
+                    epochs=30, timeout=2400),
+        sprites_job("sp_frp_360", ["--gp_block_impl",
+                                   "fused_rejitter_pallas"],
+                    epochs=360, timeout=7200),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -199,7 +217,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
