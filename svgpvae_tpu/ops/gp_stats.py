@@ -144,6 +144,15 @@ def gp_stats(Knm: Array, prec: Array, py: Array):
 
 
 def _use_pallas(n: int, m: int) -> bool:
+    # SVGPVAE_GP_STATS={pallas,xla} overrides the shape heuristic (A/B
+    # measurement hook, mirroring SVGPVAE_CHOL_INVERSE; off-TPU the
+    # forced Pallas path runs in interpret mode)
+    import os
+    forced = os.environ.get("SVGPVAE_GP_STATS")
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
     return (jax.default_backend() == "tpu"
             and n >= _MIN_N and m >= _MIN_M)
 
@@ -151,7 +160,8 @@ def _use_pallas(n: int, m: int) -> bool:
 def _gp_stats_fwd_impl(Knm, prec, py):
     n, m = Knm.shape
     if _use_pallas(n, m):
-        return gp_sufficient_stats(Knm, prec, py)
+        return gp_sufficient_stats(
+            Knm, prec, py, interpret=jax.default_backend() != "tpu")
     return gp_sufficient_stats_reference(Knm, prec, py)
 
 

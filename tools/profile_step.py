@@ -274,6 +274,27 @@ def mnist_workload(base_reps):
         pallas_rows[f"n={n},m={m},L={L}"] = row
         print(f"# stats {n}x{m}: {row}", file=sys.stderr, flush=True)
 
+    # --- full-step A/B of the gp_stats dispatch (round 4): the
+    # standalone probe above flipped sign vs the round-2 measurement at
+    # n=256 (tunnel-load sensitive), so decide at the level that
+    # matters — the production fused_pallas step under each forced
+    # dispatch (SVGPVAE_GP_STATS), traced fresh per mode ---
+    if jax.default_backend() == "tpu":
+        import os as _os
+        ab = {}
+        for mode in ("xla", "pallas"):
+            _os.environ["SVGPVAE_GP_STATS"] = mode
+            try:
+                ab[f"{mode}_ms"] = round(scan_time(
+                    lambda c: full_step_impl_body(c, "fused_pallas"),
+                    reps=base_reps), 4)
+            finally:
+                _os.environ.pop("SVGPVAE_GP_STATS", None)
+        ab["pallas_speedup"] = round(ab["xla_ms"] / ab["pallas_ms"], 3)
+        comps["full_step_gp_stats_ab"] = ab
+        print(f"# full_step gp_stats A/B: {ab}", file=sys.stderr,
+              flush=True)
+
     return {"config": f"b={b}, L={L}, M={M}, m={m} (north-star)",
             "components": comps,
             "sufficient_stats_training_shapes": pallas_rows}
