@@ -199,6 +199,18 @@ def wave6():
     ]
 
 
+def wave7():
+    py = sys.executable
+    return [
+        # step-level gp_stats dispatch A/B (SVGPVAE_GP_STATS forced
+        # modes inside the profile): the wave-5 standalone probe
+        # contradicted the round-2 threshold measurement at n=256
+        ("mnist_profile_ab",
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "mnist"], 2400),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -217,7 +229,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6, 7: wave7}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
