@@ -211,6 +211,21 @@ def wave7():
     ]
 
 
+def wave8():
+    return [
+        # saved diagnosis arms: the wave-5 sp_diag_* runs lacked --save
+        # (run dirs gate the CSV streams), so rerun the same-config draw
+        # experiment WITH per-epoch ELBO/GECO/GP-param CSVs.  180 epochs
+        # labels a draw (plateau sets in by ~ep 60-150; good runs are
+        # <=0.0152 by ep 144); 4 draws => P(>=1 plateau) ~ 0.8 at the
+        # observed ~1/3 plateau rate.
+        sprites_job("sp_save_a", ["--save"], epochs=180, timeout=2400),
+        sprites_job("sp_save_b", ["--save"], epochs=180, timeout=2400),
+        sprites_job("sp_save_c", ["--save"], epochs=180, timeout=2400),
+        sprites_job("sp_save_d", ["--save"], epochs=180, timeout=2400),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -229,7 +244,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6, 7: wave7}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6, 7: wave7, 8: wave8}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
