@@ -120,3 +120,23 @@ def test_fused_kernel_stats_sprites_family():
         np.testing.assert_allclose(got_sigma, want_sigma, rtol=2e-4,
                                    atol=2e-3)
         np.testing.assert_allclose(got_r, want_r, rtol=2e-4, atol=2e-3)
+
+
+def test_gp_stats_env_override_dispatch(monkeypatch):
+    """SVGPVAE_GP_STATS forces the dispatch (A/B measurement hook):
+    'pallas' routes below the shape thresholds (interpret mode off-TPU)
+    and matches the XLA reference; 'xla' always takes the reference."""
+    from svgpvae_tpu.ops import gp_stats as gps
+    Knm = jnp.asarray(RNG.rand(40, 12), jnp.float32)
+    prec = jnp.asarray(RNG.rand(40, 4) + 0.5, jnp.float32)
+    py = jnp.asarray(RNG.randn(40, 4), jnp.float32)
+    want = gp_sufficient_stats_reference(Knm, prec, py)
+
+    monkeypatch.setenv("SVGPVAE_GP_STATS", "pallas")
+    assert gps._use_pallas(40, 12)
+    got = gps.gp_stats(Knm, prec, py)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-3)
+
+    monkeypatch.setenv("SVGPVAE_GP_STATS", "xla")
+    assert not gps._use_pallas(10**6, 128)
