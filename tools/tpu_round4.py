@@ -212,21 +212,31 @@ def wave7():
 
 
 def wave8():
+    # Hensman f32 plateau root-cause arms.  Wave-5 diag: runs are
+    # DETERMINISTIC per (code, config, seed) on the chip (diag_a/b
+    # bit-identical) and the basin is decided BEFORE the main loop --
+    # the f32 repr-net pretrain (40 epochs, canonical queue config)
+    # lands in a worse optimum (loss 5.07 / test-acc 0.035) than the
+    # bf16 one (4.49 / 0.081), and the f32 run starts at cgen 0.0206
+    # and never descends (plateau attractor 0.02035) while the bf16
+    # run descends from 0.0191 immediately.
     return [
-        # saved diagnosis arms: the wave-5 sp_diag_* runs lacked --save
-        # (run dirs gate the CSV streams), so rerun the same-config draw
-        # experiment WITH per-epoch ELBO/GECO/GP-param CSVs.  180 epochs
-        # labels a draw (plateau sets in by ~ep 60-150; good runs are
-        # <=0.0152 by ep 144); 4 draws => P(>=1 plateau) ~ 0.8 at the
-        # observed ~1/3 plateau rate.
-        sprites_job("sp_save_a", ["--save"], epochs=180, timeout=2400),
-        sprites_job("sp_save_b", ["--save"], epochs=180, timeout=2400),
-        sprites_job("sp_save_c", ["--save"], epochs=180, timeout=2400),
-        sprites_job("sp_save_d", ["--save"], epochs=180, timeout=2400),
+        # (a) reference-scale pretrain (driver default 400 epochs):
+        # does a properly-pretrained repr net put f32 seed-0 in the
+        # good basin at the converged horizon?
+        sprites_job("sp_pre400_s0",
+                    ["--save", "--nr_epochs_repr_nn", "400"],
+                    epochs=360, timeout=3600),
+        # (b) plateau draw WITH CSVs (GECO/GP streams for the writeup)
+        sprites_job("sp_save_s0", ["--save"], epochs=180, timeout=2400),
+        # (c) does the wave-27 seed-1 record (0.01185) reproduce under
+        # current code with the canonical 40-epoch pretrain?
+        sprites_job("sp_s1_repro", ["--seed", "1"], epochs=360,
+                    timeout=3600),
     ]
 
 
-def wave3():
+def wave3():def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
         sprites_job("sp_hybrid_30", ["--bf16_hybrid"]),
