@@ -236,7 +236,7 @@ def wave8():
     ]
 
 
-def wave3():def wave3():
+def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
         sprites_job("sp_hybrid_30", ["--bf16_hybrid"]),
