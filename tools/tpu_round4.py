@@ -199,6 +199,19 @@ def wave6():
     ]
 
 
+def mnist36_job_w7(expid, extra, epochs=2000, timeout=3600):
+    py = sys.executable
+    cmd = [py, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+           "SVGPVAE_Hensman", "--GECO", "--PCA", "--ip_joint",
+           "--GP_joint", "--ov_joint", "--clip_qs",
+           "--dataset", "13679", "--synthetic_digits",
+           "--mnist_data_path", "/tmp/mnist36_data/",
+           "--kappa_squared", "0.016", "--epoch_chunk", "50",
+           "--opt_regime", f"joint-{epochs}", "--eval_every", "50",
+           "--base_dir", "/tmp/mnist_tpu", "--expid", expid, *extra]
+    return (expid, cmd, timeout)
+
+
 def wave7():
     py = sys.executable
     return [
@@ -208,6 +221,11 @@ def wave7():
         ("mnist_profile_ab",
          [py, os.path.join(ROOT, "tools", "profile_step.py"),
           "--workload", "mnist"], 2400),
+        # multi-digit converged-horizon records, re-queued from wave 5
+        # with the offline glyph source (--synthetic_digits; the shipped
+        # eval pickle only covers digit 3)
+        mnist36_job_w7("mnist36_k016_2k", []),
+        mnist36_job_w7("mnist36_k016_2k_s1", ["--seed", "1"]),
     ]
 
 
