@@ -254,6 +254,33 @@ def wave8():
     ]
 
 
+def wave9():
+    # (a) fused_rejitter_pallas converged gate, re-queued after the
+    # wave-6 transient remote_compile tunnel crash (30-ep gate passed:
+    # 8.16 ms/step, cgen 0.01645 — RESULTS.md r4).
+    # (b) multi-digit dense-eval horizon: wave 7 found best cgen at the
+    # FIRST eval (ep 49 of 2000, both seeds) — resolve the true minimum
+    # with per-5-epoch evals on a short budget, plus a default-kappa arm
+    # (is the early overfit a GECO-target artifact of kappa^2=0.016,
+    # tuned on single-digit N=4050, at N=20250?).
+    return [
+        sprites_job("sp_frp_360_r", ["--gp_block_impl",
+                                     "fused_rejitter_pallas"],
+                    epochs=360, timeout=7200),
+        mnist36_job_w7("mnist36_dense", ["--eval_every", "5",
+                                         "--epoch_chunk", "5"],
+                       epochs=200, timeout=2400),
+        mnist36_job_w7("mnist36_dense_s1", ["--eval_every", "5",
+                                            "--epoch_chunk", "5",
+                                            "--seed", "1"],
+                       epochs=200, timeout=2400),
+        mnist36_job_w7("mnist36_dense_kdef", ["--eval_every", "5",
+                                              "--epoch_chunk", "5",
+                                              "--kappa_squared", "0.020"],
+                       epochs=200, timeout=2400),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -272,7 +299,8 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6, 7: wave7, 8: wave8}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6,
+            7: wave7, 8: wave8, 9: wave9}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
