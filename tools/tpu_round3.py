@@ -29,7 +29,26 @@ MNIST = "/tmp/mnist_data/"
 SPRITES = "/tmp/sprites_data/"
 
 
+# Tunnel/backend failures that are worth ONE retry when the job itself
+# did not time out: transient memory pressure from the previous grant's
+# teardown and dropped remote-compile responses (both observed in
+# /tmp/r04_chain.out: sp_diag_a, sp_frp_360 — identical re-runs passed).
+_TRANSIENT = ("RESOURCE_EXHAUSTED", "remote_compile", "read body",
+              "DEADLINE_EXCEEDED", "UNAVAILABLE")
+
+
 def run(name, cmd, timeout, extra_env=None):
+    code, tail, killed = _run_once(name, cmd, timeout, extra_env)
+    if code != 0 and not killed and any(t in tail for t in _TRANSIENT):
+        print(f":: [{name}] transient backend failure; sleeping 120s and "
+              "retrying once", flush=True)
+        time.sleep(120)
+        code, tail, killed = _run_once(f"{name}_retry", cmd, timeout,
+                                       extra_env)
+    return code
+
+
+def _run_once(name, cmd, timeout, extra_env=None):
     os.makedirs(LOGDIR, exist_ok=True)
     log = os.path.join(LOGDIR, f"{name}.log")
     print(f":: [{name}] {' '.join(cmd)} (timeout {timeout}s)", flush=True)
@@ -66,7 +85,7 @@ def run(name, cmd, timeout, extra_env=None):
         pass
     print(f":: [{name}] exit {code} in {dt:.0f}s :: {tail}", flush=True)
     time.sleep(30)  # let the remote grant tear down before the next claim
-    return code
+    return code, tail, killed
 
 
 def mnist_job(expid, extra, epochs=1000, timeout=1500, eval_every=50):
