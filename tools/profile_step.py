@@ -670,6 +670,40 @@ def sprites_workload(base_reps):
     print(f"# full_step_wide128: {msw:.4f} ms", file=sys.stderr,
           flush=True)
 
+    # fused upsample+conv on the wide axis: at reference scale (16
+    # filters, bandwidth-bound) the exact rewrite measured 0.98x; its
+    # documented prediction (nn/nets.py, docs/cli.md) is a win where the
+    # decoder convs are MAC-bound.  filters=128 is that regime — same
+    # parameter tree, so wide_params is reused verbatim.
+    wide_fu = nets.SpritesVAE(L=L, filters=128, fused_upsample=True)
+
+    def loss_wide_fu(params, frames_, key, C_ma, lam):
+        out = models.forward_pass_svgpvae(
+            wide_fu, params["vae"], params["gp"], (frames_, action_ids),
+            key, beta=0.001, C_ma=C_ma, lagrange_mult=lam, alpha=0.99,
+            kappa=kappa, clip_qs=True, geco=True,
+            repr_apply=repr_net.apply, repr_params=params["repr"],
+            frames_per_char=fpc)
+        return out.elbo
+
+    def full_step_wide_fu(c):
+        val, grads = jax.value_and_grad(loss_wide_fu)(
+            wide_params, frames + c * 1e-30, key, jnp.float32(0.0),
+            jnp.float32(1.0))
+        updates, _ = tx_w.update(grads, opt_w, wide_params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, wide_params,
+                                     updates)
+        return (val + sum(jnp.sum(x) for x in
+                          jax.tree_util.tree_leaves(new))) * 1e-30
+
+    mswf = scan_time(full_step_wide_fu, reps=max(base_reps // 4, 5))
+    comps["full_step_wide128_fusedup"] = {
+        "ms": round(mswf, 4),
+        "speedup_vs_wide128": round(msw / mswf, 3)}
+    print(f"# full_step_wide128_fusedup: {mswf:.4f} ms "
+          f"({msw / mswf:.3f}x vs plain wide128)", file=sys.stderr,
+          flush=True)
+
     return {"config": f"b={b}, 64x64x3, L={L}, m={m}, L_action={L_act}, "
                       f"L_character={L_char} (reference scale)",
             "components": comps}
