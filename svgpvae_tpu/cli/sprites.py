@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the training RNG on a fixed dataset")
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--main_seed", type=int, default=-1,
+                   help="if >= 0, re-seed ONLY the main loop's per-step "
+                        "sampling stream, keeping all inits and the "
+                        "repr-net pretrain on --seed (basin-diagnosis "
+                        "knob, RESULTS.md round 4)")
     p.add_argument("--resume_dir", type=str, default=None,
                    help="existing run dir to resume from (restores the full "
                         "TrainState from its ckpt/ and skips pretraining)")
@@ -422,7 +427,17 @@ def run_experiment(args) -> dict:
     tx = train.make_optimizer(
         lr, mask=mask,
         clip_grad_value=args.clip_grad_thres if args.clip_grad else None)
-    state = train.TrainState.create(params, tx, jax.random.fold_in(key, 202))
+    # --main_seed: re-seed ONLY the main loop's per-step sampling stream
+    # (the reparameterization epsilon draws), keeping every parameter
+    # init and the repr-net pretrain on --seed.  Basin-diagnosis knob:
+    # the SPRITES Hensman family splits into a record basin and a
+    # 0.0204-plateau basin per seed (RESULTS.md r4 wave 5/8 — a
+    # 400-epoch, 0.995-acc pretrain does NOT escape the plateau), and
+    # this isolates whether the split is decided by the inits or by the
+    # sampling noise.
+    main_key = (jax.random.PRNGKey(args.main_seed) if args.main_seed >= 0
+                else jax.random.fold_in(key, 202))
+    state = train.TrainState.create(params, tx, main_key)
     if args.resume_dir:
         ckpt = os.path.join(args.resume_dir, "ckpt")
         if utils.latest_step(ckpt) is not None:
@@ -732,7 +747,7 @@ def run_experiment(args) -> dict:
         utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
                               steps_done)
     result = {"steps_per_sec": run_steps / max(elapsed, 1e-9),
-              "run_dir": run_dir}
+              "run_dir": run_dir, "state": state}
     if cgen_history:
         best = min(cgen_history, key=lambda x: x[1])
         print(f"best cgen MSE {best[1]:.5f} at epoch {best[0]}")

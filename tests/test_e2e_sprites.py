@@ -100,3 +100,42 @@ def test_stale_corpus_guard(tmp_path):
     sprites_cli.ensure_dataset(parse(2))
     assert sprites_cli._count_corpus_rows(
         str(tmp_path / "corpus" / "train")) == 100
+
+
+def test_main_seed_reseeds_only_the_sampling_stream(tmp_path):
+    """--main_seed must leave every parameter init and the repr-net
+    pretrain on --seed (identical repr params when the repr net is
+    frozen post-pretrain) while changing the main loop's per-step
+    sampling stream (different trained VAE params)."""
+    import jax
+
+    path = str(tmp_path / "corpus")
+
+    def run(extra=()):
+        args = sprites_cli.build_parser().parse_args([
+            "--elbo", "SVGPVAE_Hensman", "--GECO", "--clip_qs",
+            "--synthetic", "--synthetic_chars", "4",
+            "--sprites_data_path", path,
+            "--batch_size", "200", "--batch_size_repr_nn", "200",
+            "--opt_regime", "joint-2", "--eval_every", "2",
+            "--nr_epochs_repr_nn", "2", "--m", "2", "--L", "16",
+            "--L_character", "8", "--L_action", "4",
+            "--repr_nn_pretrain", "yes_fixed", *extra])
+        sprites_cli.ensure_dataset(args)
+        return sprites_cli.run_experiment(args)
+
+    base = run()
+    reseeded = run(["--main_seed", "7"])
+
+    # inits + pretrain untouched: the frozen repr net is bit-identical
+    for a, b in zip(jax.tree_util.tree_leaves(base["state"].params["repr"]),
+                    jax.tree_util.tree_leaves(
+                        reseeded["state"].params["repr"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the sampling stream differs: trained VAE params must diverge
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(
+                 jax.tree_util.tree_leaves(base["state"].params["vae"]),
+                 jax.tree_util.tree_leaves(reseeded["state"].params["vae"]))]
+    assert max(diffs) > 0.0
