@@ -281,6 +281,32 @@ def wave9():
     ]
 
 
+def wave10():
+    # SPRITES Hensman basin assignment: decisive arms under ONE code
+    # version.  Background (RESULTS.md r4): sp_diag_b (seed 0, joint-360,
+    # no --save) plateaued at 0.02035 while sp_save_s0 (seed 0,
+    # joint-180, --save) descended to 0.01546 — but the two ran waves
+    # apart.  The eval/save path never mutates TrainState (cli/sprites.py
+    # main loop) so under one binary the first 180 epochs must match;
+    # these arms separate (code drift) x (regime length) x (--save) x
+    # (sampling stream vs inits) in one back-to-back sweep.
+    return [
+        # plateau replication under current code (control)
+        sprites_job("sp_w10_s0_360", [], epochs=360, timeout=3600),
+        # does regime length alone flip the basin?  (same code as control)
+        sprites_job("sp_w10_s0_180", [], epochs=180, timeout=2400),
+        # does --save alone flip it?
+        sprites_job("sp_w10_s0_360_sv", ["--save"], epochs=360,
+                    timeout=3600),
+        # inits-vs-noise: same inits + pretrain (seed 0), different
+        # main-loop sampling stream (--main_seed, commit 640475f)
+        sprites_job("sp_w10_s0_ms7", ["--main_seed", "7"], epochs=360,
+                    timeout=3600),
+        sprites_job("sp_w10_s0_ms11", ["--main_seed", "11"], epochs=360,
+                    timeout=3600),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -300,7 +326,7 @@ def main():
     args = p.parse_args()
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6,
-            7: wave7, 8: wave8, 9: wave9}[args.wave]()
+            7: wave7, 8: wave8, 9: wave9, 10: wave10}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
