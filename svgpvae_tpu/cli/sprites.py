@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "— probes whether uniform bf16's converged-"
                         "horizon quality floor (RESULTS.md wave 24) "
                         "lives in the heads")
+    p.add_argument("--s2d64", action="store_true",
+                   help="compute every 64x64-resolution conv in "
+                        "space-to-depth(2) coordinates (nn.S2DConv3x3: "
+                        "4x MXU lane fill, 4x fewer pixels; exact "
+                        "rewrite, same parameter tree — checkpoints "
+                        "interop); perf knob measured in "
+                        "tools/profile_step.py --workload sprites")
     p.add_argument("--fused_upsample", action="store_true",
                    help="compute each decoder upsample2x+Conv pair as a "
                         "single conv at the pre-upsample resolution "
@@ -290,7 +297,8 @@ def run_experiment(args) -> dict:
     vae = nets.SpritesVAE(L=args.L, dtype=net_dtype,
                           head_dtype=jnp.float32
                           if args.bf16_hybrid else None,
-                          fused_upsample=args.fused_upsample)
+                          fused_upsample=args.fused_upsample,
+                          s2d64=args.s2d64)
     dummy = jnp.zeros((2, 64, 64, 3))
     vae_params = vae.init(key, dummy)
     params = {"vae": vae_params}

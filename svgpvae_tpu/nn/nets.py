@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from jax import Array, lax
 
@@ -45,6 +46,99 @@ def upsample2x(x: Array) -> Array:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def space_to_depth2(x: Array) -> Array:
+    """(b, h, w, c) -> (b, h/2, w/2, 4c), channel layout (p, q, c)
+    phase-major: out[i, j, (p*2+q)*c + k] = x[2i+p, 2j+q, k]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(x: Array) -> Array:
+    """Inverse of `space_to_depth2`."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _s2d_phase_matrix() -> np.ndarray:
+    """M[di, r, bi, p] = 1 iff a stride-1 3x3 SAME conv's output pixel at
+    parity r, reading original tap di (offset di-1), lands on phase p of
+    s2d block offset bi-1: p = r + di + 1 - 2*bi."""
+    M = np.zeros((3, 2, 3, 2), np.float32)
+    for di in range(3):
+        for r in range(2):
+            for bi in range(3):
+                p = r + di + 1 - 2 * bi
+                if 0 <= p < 2:
+                    M[di, r, bi, p] = 1.0
+    return M
+
+
+class S2DConv3x3(nn.Module):
+    """A 3x3 SAME stride-1 conv computed in space-to-depth(2) coordinates.
+
+    TPU lever for the reference's 16-channel convs at 64x64 resolution
+    (SPRITES arch, VAE_utils.py:275-360): 16 channels fill 16/128 MXU
+    lanes, and the round-4 backward profile puts ~3.6 ms of the 5.5 ms
+    decoder fwd+bwd in the three 64x64 convs.  In s2d coordinates the
+    same conv runs at 32x32 with 4x the channels (64/128 lanes, 4x fewer
+    pixels): the EXACT transformed kernel is
+
+        W'[bi, bj, (p,q,cin), (r,s,cout)] =
+            sum_{di,dj} M[di,r,bi,p] M[dj,s,bj,q] W[di,dj,cin,cout]
+
+    with `_s2d_phase_matrix` M (dense compute is 4x the MACs — the point
+    is lane fill and pixel count, exactly the trade the ConvTranspose
+    probe measured at 1.33x).  SAME padding is exact: the padded s2d
+    block's phase p=1 row is precisely the original's padded row -1, and
+    phase rows below -1 are never read (M keeps p in range).
+
+    Parameters are stored EXACTLY as ``nn.Conv`` stores them (``kernel``
+    (3, 3, cin, features) HWIO + ``bias`` (features,)), so checkpoints
+    interop with the materialized path both ways.
+
+    ``to_space=True`` makes it the s2d form of a STRIDE-2 3x3 SAME conv,
+    consuming s2d input and emitting normal-space output — the encoder's
+    stride-2 conv at 64x64 absorbs the depth-to-space for free.  NOTE the
+    stride-2 SAME convention (XLA = keras) pads (0, 1) at even sizes, so
+    output i reads X[2i + di] and the phase map is p = di + 2 - 2*bi
+    (blocks {i, i+1}; the padded s2d block 33's phase 0 is exactly the
+    original's padded row 64).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    to_space: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1] // 4
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        M = jnp.asarray(_s2d_phase_matrix())
+        k32 = kernel.astype(jnp.float32)
+        if self.to_space:
+            M2 = np.zeros((3, 3, 2), np.float32)  # [di, bi, p]
+            for di in range(3):
+                p = di + 2 - 2 * ((di + 2) // 2)
+                M2[di, (di + 2) // 2, p] = 1.0
+            M2 = jnp.asarray(M2)
+            Wp = jnp.einsum("iap,jbq,ijck->abpqck", M2, M2, k32)
+            Wp = Wp.reshape(3, 3, 4 * cin, self.features)
+            bp = bias
+        else:
+            Wp = jnp.einsum("irap,jsbq,ijck->abpqcrsk", M, M, k32)
+            Wp = Wp.reshape(3, 3, 4 * cin, 4 * self.features)
+            bp = jnp.tile(bias, 4)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), Wp.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bp.astype(self.dtype)
 
 
 class FusedUpsampleConv2x(nn.Module):
@@ -320,26 +414,48 @@ class SpritesVAE(nn.Module):
     # checkpoints interop both ways).  Perf knob measured in
     # tools/profile_step.py --workload sprites.
     fused_upsample: bool = False
+    # Compute every 64x64-resolution conv in space-to-depth(2)
+    # coordinates (S2DConv3x3): the encoder's first two convs consume one
+    # cheap s2d of the 3-channel input (the stride-2 conv absorbs the
+    # inverse), and the decoder's last stage runs at 32x32x4f — the
+    # upsample2x+s2d pair degenerates to a free channel-tile, with one
+    # depth-to-space on the 3-channel output.  Exact rewrite, same
+    # parameter tree; takes precedence over fused_upsample at stage 3.
+    s2d64: bool = False
 
     def setup(self):
         f = self.filters
         hd = self.head_dtype or self.dtype
-        self.enc_convs = [
+        if self.s2d64:
+            enc0 = [S2DConv3x3(features=f, dtype=self.dtype,
+                               name="enc_conv0"),
+                    S2DConv3x3(features=f, dtype=self.dtype, to_space=True,
+                               name="enc_conv1")]
+        else:
+            enc0 = [nn.Conv(f, (3, 3), strides=(s, s), padding="SAME",
+                            dtype=self.dtype, name=f"enc_conv{i}")
+                    for i, s in enumerate((1, 2))]
+        self.enc_convs = enc0 + [
             nn.Conv(f, (3, 3), strides=(s, s), padding="SAME",
                     dtype=self.dtype, name=f"enc_conv{i}")
-            for i, s in enumerate((1, 2, 1, 2, 1, 2))]
+            for i, s in zip((2, 3, 4, 5), (1, 2, 1, 2))]
         self.enc_out = nn.Dense(2 * self.L, dtype=hd)
         self.dec_in = nn.Dense(64 * f, dtype=self.dtype)
         self.dec_convs = [
-            (FusedUpsampleConv2x(features=f, dtype=self.dtype,
+            (S2DConv3x3(features=f, dtype=self.dtype, name=f"dec_conv{i}")
+             if self.s2d64 and i >= 4 else
+             FusedUpsampleConv2x(features=f, dtype=self.dtype,
                                  name=f"dec_conv{i}")
              if self.fused_upsample and i % 2 == 0 else
              nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
                      name=f"dec_conv{i}")) for i in range(6)]
-        self.dec_out = nn.Conv(3, (3, 3), padding="SAME", dtype=hd)
+        self.dec_out = (S2DConv3x3(features=3, dtype=hd) if self.s2d64
+                        else nn.Conv(3, (3, 3), padding="SAME", dtype=hd))
 
     def encode(self, images: Array) -> Tuple[Array, Array]:
         h = images.astype(self.dtype)
+        if self.s2d64:
+            h = space_to_depth2(h)  # convs 0-1 run in s2d coordinates
         for conv in self.enc_convs:
             h = nn.elu(conv(h))
         h = h.reshape(h.shape[0], -1)  # (b, 8*8*16)
@@ -350,12 +466,18 @@ class SpritesVAE(nn.Module):
         h = self.dec_in(latents.astype(self.dtype))
         h = h.reshape(h.shape[0], 8, 8, self.filters)
         for i in range(3):
-            if not self.fused_upsample:
+            if self.s2d64 and i == 2:
+                # stage 3 in s2d coordinates: upsample2x then s2d(2) is a
+                # phase-tile of the channels (all four phases equal)
+                h = jnp.tile(h, (1, 1, 1, 4))
+            elif not self.fused_upsample:
                 h = upsample2x(h)  # fused conv upsamples internally
             h = nn.elu(self.dec_convs[2 * i](h))
             h = nn.elu(self.dec_convs[2 * i + 1](h))
-        return nn.elu(self.dec_out(
-            h.astype(self.head_dtype or self.dtype)))
+        out = self.dec_out(h.astype(self.head_dtype or self.dtype))
+        if self.s2d64:
+            out = depth_to_space2(out)  # elu commutes (elementwise)
+        return nn.elu(out)
 
     def __call__(self, images: Array):
         mean, var = self.encode(images)

@@ -186,3 +186,64 @@ def test_upsample2x_matches_repeat_values_and_vjp():
     g_ref = jax.vjp(ref_fn, x)[1](ct)[0]
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=0, atol=0)
+
+
+def test_s2d_roundtrip_and_layout():
+    """space_to_depth2 uses phase-major channel layout (p, q, c) and
+    depth_to_space2 inverts it; upsample2x then s2d equals channel-tile."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 8, 8, 5), jnp.float32)
+    s = nets.space_to_depth2(x)
+    assert s.shape == (2, 4, 4, 20)
+    # phase-major layout: s[i, j, (p*2+q)*C + c] == x[2i+p, 2j+q, c]
+    np.testing.assert_array_equal(np.asarray(s[0, 1, 2, (1 * 2 + 0) * 5 + 3]),
+                                  np.asarray(x[0, 3, 4, 3]))
+    np.testing.assert_array_equal(np.asarray(nets.depth_to_space2(s)),
+                                  np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(nets.space_to_depth2(nets.upsample2x(x))),
+        np.asarray(jnp.tile(x, (1, 1, 1, 4))))
+
+
+def test_sprites_vae_s2d64_parity():
+    """SpritesVAE(s2d64=True) must be an exact rewrite: identical
+    parameter tree, and encode/decode values + parameter gradients match
+    the reference path to float reassociation tolerance — including the
+    asymmetric-(0,1)-padded stride-2 encoder conv and the SAME-padded
+    borders of the decoder's 64x64 stage."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    z = jnp.asarray(rng.randn(2, 8), jnp.float32)
+    ref = nets.SpritesVAE(L=8, filters=4)
+    s2d = nets.SpritesVAE(L=8, filters=4, s2d64=True)
+    p_ref = ref.init(KEY, jnp.zeros((2, 64, 64, 3)))
+    p_s2d = s2d.init(KEY, jnp.zeros((2, 64, 64, 3)))
+    assert (jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_s2d))
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_s2d)):
+        assert a.shape == b.shape
+
+    m1, v1 = ref.apply(p_ref, x, method=nets.SpritesVAE.encode)
+    m2, v2 = s2d.apply(p_ref, x, method=nets.SpritesVAE.encode)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=2e-5, atol=2e-6)
+    d1 = ref.apply(p_ref, z, method=nets.SpritesVAE.decode)
+    d2 = s2d.apply(p_ref, z, method=nets.SpritesVAE.decode)
+    assert d2.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=2e-5, atol=2e-6)
+
+    def loss(mod, p):
+        m, v = mod.apply(p, x, method=nets.SpritesVAE.encode)
+        return jnp.sum(jnp.sin(mod.apply(p, m + v, 
+                                         method=nets.SpritesVAE.decode)))
+
+    g1 = jax.grad(lambda p: loss(ref, p))(p_ref)
+    g2 = jax.grad(lambda p: loss(s2d, p))(p_ref)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5),
+        g1, g2)

@@ -602,6 +602,71 @@ def sprites_workload(base_reps):
     print(f"# full_step_fused_upsample: {msfu:.4f} ms", file=sys.stderr,
           flush=True)
 
+    # (e) space-to-depth 64x64 stage (nn.S2DConv3x3, --s2d64): every
+    #     64x64-resolution conv computed at 32x32 with 4x channels —
+    #     EXACT rewrite (tests/test_nn.py::test_sprites_vae_s2d64_parity),
+    #     same parameter tree.  4x the MACs at 4x lane fill and 1/4 the
+    #     pixels; the round-4 backward profile put ~3.6 ms of the step in
+    #     the three 64x64 decoder convs.
+    vae_s2d = nets.SpritesVAE(L=L, s2d64=True)
+    s2d_dec_body = grad_wrt(
+        lambda p, z: vae_s2d.apply(p, z, method=vae_s2d.decode),
+        params["vae"], latents)
+    mss2d = scan_time(s2d_dec_body, reps=base_reps)
+    comps["decoder_s2d_fwd_bwd"] = {
+        "ms": round(mss2d, 4),
+        "vs_reference_decoder_fwd_bwd": round(
+            comps["decoder_fwd_bwd"]["ms"] / mss2d, 3)}
+    print(f"# decoder_s2d_fwd_bwd: {mss2d:.4f} ms", file=sys.stderr,
+          flush=True)
+    s2d_enc_body = grad_wrt(
+        lambda p, x: vae_s2d.apply(p, x, method=vae_s2d.encode)[0],
+        params["vae"], frames)
+    mss2de = scan_time(s2d_enc_body, reps=base_reps)
+    comps["encoder_s2d_fwd_bwd"] = {
+        "ms": round(mss2de, 4),
+        "vs_reference_encoder_fwd_bwd": round(
+            comps["encoder_fwd_bwd"]["ms"] / mss2de, 3)}
+    print(f"# encoder_s2d_fwd_bwd: {mss2de:.4f} ms", file=sys.stderr,
+          flush=True)
+
+    def loss_s2d(params_, frames_, key_, C_ma, lam):
+        out = models.forward_pass_svgpvae(
+            vae_s2d, params_["vae"], params_["gp"], (frames_, action_ids),
+            key_, beta=0.001, C_ma=C_ma, lagrange_mult=lam, alpha=0.99,
+            kappa=kappa_, clip_qs=True, geco=True,
+            repr_apply=repr_net.apply, repr_params=params_["repr"],
+            frames_per_char=fpc)
+        return out.elbo
+
+    mss2df = scan_time(make_full_step(loss_s2d, params),
+                       reps=max(base_reps // 2, 10))
+    comps["full_step_s2d"] = {
+        "ms": round(mss2df, 4),
+        "speedup_vs_f32": round(comps["full_step"]["ms"] / mss2df, 3)}
+    print(f"# full_step_s2d: {mss2df:.4f} ms", file=sys.stderr, flush=True)
+
+    # s2d + bf16 trunks: do the two levers compose?
+    vae_s2d16 = nets.SpritesVAE(L=L, dtype=jnp.bfloat16, s2d64=True)
+    repr_16 = nets.SpritesReprNet(L=L_char, dtype=jnp.bfloat16)
+
+    def loss_s2d16(params_, frames_, key_, C_ma, lam):
+        out = models.forward_pass_svgpvae(
+            vae_s2d16, params_["vae"], params_["gp"], (frames_, action_ids),
+            key_, beta=0.001, C_ma=C_ma, lagrange_mult=lam, alpha=0.99,
+            kappa=kappa_, clip_qs=True, geco=True,
+            repr_apply=repr_16.apply, repr_params=params_["repr"],
+            frames_per_char=fpc)
+        return out.elbo
+
+    mss2d16 = scan_time(make_full_step(loss_s2d16, params),
+                        reps=max(base_reps // 2, 10))
+    comps["full_step_s2d_bf16"] = {
+        "ms": round(mss2d16, 4),
+        "speedup_vs_f32": round(comps["full_step"]["ms"] / mss2d16, 3)}
+    print(f"# full_step_s2d_bf16: {mss2d16:.4f} ms", file=sys.stderr,
+          flush=True)
+
     # (c) ConvTranspose decoder probe: fuse each upsample+conv pair into
     #     one strided transpose conv (perf shape probe only — different
     #     parameterization, not the reference architecture)

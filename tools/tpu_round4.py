@@ -307,6 +307,24 @@ def wave10():
     ]
 
 
+def wave11():
+    # space-to-depth 64x64 conv rewrite (nn.S2DConv3x3, --s2d64): the
+    # round-4 backward profile put ~3.6 ms of the 10.3 ms SPRITES step
+    # in the three 64x64 16-channel convs (16/128 MXU lanes over the
+    # largest pixel count); s2d computes them at 32x32 with 4x channels.
+    # Exact rewrite, same parameter tree (tests/test_nn.py parity).
+    # (a) on-chip component + full-step probes (profile_step s2d section),
+    # (b) 30-epoch driver gates: s2d alone, s2d+bf16 compose.
+    py = sys.executable
+    return [
+        ("sprites_profile_s2d",
+         [py, os.path.join(ROOT, "tools", "profile_step.py"),
+          "--workload", "sprites"], 3000),
+        sprites_job("sp_s2d_30", ["--s2d64"]),
+        sprites_job("sp_s2d_bf16_30", ["--s2d64", "--bf16"]),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -326,7 +344,8 @@ def main():
     args = p.parse_args()
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6,
-            7: wave7, 8: wave8, 9: wave9, 10: wave10}[args.wave]()
+            7: wave7, 8: wave8, 9: wave9, 10: wave10,
+            11: wave11}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
