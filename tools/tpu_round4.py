@@ -290,18 +290,21 @@ def wave10():
     # main loop) so under one binary the first 180 epochs must match;
     # these arms separate (code drift) x (regime length) x (--save) x
     # (sampling stream vs inits) in one back-to-back sweep.
+    # Ordered by decisiveness (the end-of-round stop file may cut the
+    # tail): the control replication first, then the inits-vs-noise arm,
+    # then the --save and regime-length confound arms.
     return [
         # plateau replication under current code (control)
         sprites_job("sp_w10_s0_360", [], epochs=360, timeout=3600),
-        # does regime length alone flip the basin?  (same code as control)
-        sprites_job("sp_w10_s0_180", [], epochs=180, timeout=2400),
-        # does --save alone flip it?
-        sprites_job("sp_w10_s0_360_sv", ["--save"], epochs=360,
-                    timeout=3600),
         # inits-vs-noise: same inits + pretrain (seed 0), different
         # main-loop sampling stream (--main_seed, commit 640475f)
         sprites_job("sp_w10_s0_ms7", ["--main_seed", "7"], epochs=360,
                     timeout=3600),
+        # does --save alone flip it?
+        sprites_job("sp_w10_s0_360_sv", ["--save"], epochs=360,
+                    timeout=3600),
+        # does regime length alone flip the basin?  (same code as control)
+        sprites_job("sp_w10_s0_180", [], epochs=180, timeout=2400),
         sprites_job("sp_w10_s0_ms11", ["--main_seed", "11"], epochs=360,
                     timeout=3600),
     ]
@@ -353,6 +356,12 @@ def main():
         extra_env = job[3] if len(job) > 3 else None
         if (only and name not in only) or name in skip:
             continue
+        # end-of-round cut: touch /tmp/r04_stop to finish the current job
+        # and skip the rest (jobs never see a signal mid-device-call)
+        if os.path.exists("/tmp/r04_stop"):
+            print(f":: stop file present; skipping {name} and the rest",
+                  flush=True)
+            break
         run(name, cmd, timeout, extra_env)
 
 
