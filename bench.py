@@ -14,6 +14,8 @@ The `suite` field carries the rest (VERDICT r1 item 3, r2 item 7):
                          + full-train encode + cgen), ms per pass
   * sprites_train      — SPRITES train step at reference scale
                          (batch 500, 64x64x3, L=64, m=72 IPs)
+  * sprites_train_s2d  — same step with the exact space-to-depth
+                         64x64-conv rewrite (--s2d64; r4 wave-11 win)
   * sprites_eval       — the SPRITES eval pass (test_character recon +
                          encode + precompute + cgen), ms per pass
   * sprites_precompute — the n=50k sufficient-statistics contraction,
@@ -323,10 +325,12 @@ def bench_svigp(peak):
     }
 
 
-def bench_sprites_train(peak):
+def bench_sprites_train(peak, s2d64=False):
     """SPRITES SVGPVAE-Hensman GECO train step at reference scale:
     batch 500 (10 chars x 50 frames), 64x64x3, L=64, m=72 IPs
-    (SPRITES_experiment.py defaults)."""
+    (SPRITES_experiment.py defaults).  s2d64 benches the exact
+    space-to-depth 64x64-conv rewrite (--s2d64, nn.S2DConv3x3 — the
+    round-4 wave-11 f32 step win; parity pinned in tests/test_nn.py)."""
     import jax
     import jax.numpy as jnp
     from svgpvae_tpu import gp as gpm
@@ -344,7 +348,7 @@ def bench_sprites_train(peak):
     # --bf16 mode; GP math stays f32 via the scoped linalg.precise)
     net_dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") == "1" \
         else jnp.float32
-    vae = nets.SpritesVAE(L=L, dtype=net_dtype)
+    vae = nets.SpritesVAE(L=L, dtype=net_dtype, s2d64=s2d64)
     vae_params = vae.init(key, jnp.zeros((2, 64, 64, 3)))
     repr_net = nets.SpritesReprNet(L=L_char, dtype=net_dtype)
     repr_params = repr_net.init(key, jnp.zeros((2, 64, 64, 3)))
@@ -396,7 +400,8 @@ def bench_sprites_train(peak):
         "flops_per_step": flops_epoch / n_batches if flops_epoch else None,
         "mfu": _mfu(flops_epoch, reps / elapsed, peak),
         "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
-        "config": f"batch {b}, 64x64x3, L{L}, m{n_actions}, GECO, epoch-scan",
+        "config": (f"batch {b}, 64x64x3, L{L}, m{n_actions}, GECO, "
+                   f"epoch-scan{', s2d64' if s2d64 else ''}"),
     }
 
 
@@ -937,6 +942,8 @@ def main() -> None:
                      ("svigp_train", lambda: bench_svigp(peak)),
                      ("casale_train", lambda: bench_casale(peak)),
                      ("sprites_train", lambda: bench_sprites_train(peak)),
+                     ("sprites_train_s2d",
+                      lambda: bench_sprites_train(peak, s2d64=True)),
                      ("sprites_eval", lambda: bench_sprites_eval(peak)),
                      ("sprites_precompute", bench_sprites_precompute),
                      ("ball_train", lambda: bench_ball(peak)),
