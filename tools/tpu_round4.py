@@ -328,6 +328,33 @@ def wave11():
     ]
 
 
+def wave12():
+    # Compose the two validated SPRITES speed levers and gather the
+    # multi-seed evidence the r4 RESULTS flagged for the round-5 default
+    # flip.  Background: --gp_block_impl fused_rejitter_pallas is a
+    # 1.15-1.17x step win with converged quality in-band (waves 6/9,
+    # seed 0 only); --s2d64 is the one exact-f32 1.09x step win (wave
+    # 11).  They attack disjoint components (GP block vs the 64x64
+    # decoder/encoder convs), so they should compose to ~1.25x.
+    # Ordered by decisiveness for an end-of-session cut:
+    return [
+        # (a) combined 30-ep gate: step p50 + quality in-band
+        sprites_job("sp_frps2d_30", ["--gp_block_impl",
+                                     "fused_rejitter_pallas", "--s2d64"]),
+        # (b) frp default-flip evidence: converged 360-ep on a 2nd seed
+        sprites_job("sp_frp_360_s1", ["--gp_block_impl",
+                                      "fused_rejitter_pallas",
+                                      "--seed", "1"],
+                    epochs=360, timeout=7200),
+        # (c) combined converged 360-ep (record-wall attempt, seed 1 —
+        # the wave-27 record seed)
+        sprites_job("sp_frps2d_360_s1", ["--gp_block_impl",
+                                         "fused_rejitter_pallas",
+                                         "--s2d64", "--seed", "1"],
+                    epochs=360, timeout=7200),
+    ]
+
+
 def wave3():
     return [
         # bf16_hybrid quality gates at full reference scale
@@ -348,7 +375,7 @@ def main():
 
     jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4, 5: wave5, 6: wave6,
             7: wave7, 8: wave8, 9: wave9, 10: wave10,
-            11: wave11}[args.wave]()
+            11: wave11, 12: wave12}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
