@@ -505,6 +505,72 @@ def test_sprites_forward_and_cgen():
     assert np.isfinite(loss)
 
 
+def test_sprites_forward_s2d64_fused_rejitter_composition():
+    """The two validated SPRITES speed levers compose: a forward pass with
+    SpritesVAE(s2d64=True) (exact space-to-depth conv rewrite, same
+    parameter tree) AND gp_block_impl='fused_rejitter' (one-pass GP block
+    with the exact two-pass rejittered KL) must reproduce the reference
+    path's ELBO and gradients to float tolerance.  Each lever is pinned
+    individually (tests/test_nn.py, tests/test_fused_gp.py); this pins
+    the combination the drivers run when both flags are set (wave 12)."""
+    fpc, n_char, L, L_act, L_chr = 4, 3, 8, 3, 5
+    b = fpc * n_char
+    vae_ref = nets.SpritesVAE(L=L)
+    vae_s2d = nets.SpritesVAE(L=L, s2d64=True)
+    repr_net = nets.SpritesReprNet(L=L_chr)
+    images = jnp.asarray(RNG.rand(b, 64, 64, 3), dtype=jnp.float32)
+    vae_params = vae_ref.init(KEY, images)
+    repr_params = repr_net.init(KEY, images)
+
+    m, n_act = 6, 9
+    ip = RNG.randn(m, L_act + L_chr)
+    gplvm = RNG.randn(n_act, L_act)
+    cfg = SVGPConfig(jitter=1e-2, N_train=100)
+    gp = gpm.init_sprites_svgp(ip, gplvm, L_action=L_act, config=cfg)
+    action_ids = jnp.asarray(RNG.randint(0, n_act, b), dtype=jnp.float32)
+
+    def fwd(vae, params, impl):
+        return models.forward_pass_svgpvae(
+            vae, params["vae"], params["gp"], (images, action_ids), KEY,
+            beta=0.001, C_ma=0.0, lagrange_mult=1.0, alpha=0.99,
+            kappa=np.sqrt(0.0075), geco=True, repr_apply=repr_net.apply,
+            repr_params=params["repr"], frames_per_char=fpc,
+            gp_block_impl=impl)
+
+    params = {"vae": vae_params, "gp": gp, "repr": repr_params}
+    o_ref = fwd(vae_ref, params, "reference")
+    o_combo = fwd(vae_s2d, params, "fused_rejitter")
+    # The fused block's recon sufficient statistics carry a documented
+    # O(cfg.jitter) perturbation vs the two-pass path (gp/fused.py:35-39
+    # — below f32 noise at the production 1e-6, but this ill-conditioned
+    # random fixture needs jitter=1e-2, which inflates it to ~3e-5 of
+    # |inside_elbo_recon|; measured identical in f64, so it is jitter
+    # placement, not float reassociation).  The ELBO is a cancellation
+    # of large terms, so normalize by the dominating term's magnitude
+    # instead of asserting raw rtol on the small total.
+    scale = max(float(np.abs(o_ref.inside_elbo_recon)), 1.0)
+    for f in ("recon_loss", "inside_elbo_recon", "inside_elbo_kl", "elbo"):
+        a = float(getattr(o_ref, f))
+        c = float(getattr(o_combo, f))
+        np.testing.assert_allclose(c / scale, a / scale, atol=2e-4,
+                                   err_msg=f)
+
+    def loss(vae, p, impl):
+        return -fwd(vae, p, impl).elbo
+
+    g_ref = jax.grad(lambda p: loss(vae_ref, p, "reference"))(params)
+    g_combo = jax.grad(lambda p: loss(vae_s2d, p, "fused_rejitter"))(params)
+    for a, c in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_combo)):
+        a, c = np.asarray(a), np.asarray(c)
+        assert np.all(np.isfinite(c))
+        gscale = max(float(np.abs(a).max()), 1e-3)
+        # GP-param gradients inherit the same O(jitter) perturbation
+        # (max normalized delta 3.2e-3 at this fixture's jitter=1e-2);
+        # a genuine composition/wiring bug shows O(1) deltas here.
+        np.testing.assert_allclose(c / gscale, a / gscale, atol=5e-3)
+
+
 def test_full_cholesky_head_end_to_end():
     """Full-Cholesky encoder head threads through both ball ELBO families;
     the in-graph marginalization matches the numpy post-processing
