@@ -512,22 +512,31 @@ def test_sprites_forward_s2d64_fused_rejitter_composition():
     with the exact two-pass rejittered KL) must reproduce the reference
     path's ELBO and gradients to float tolerance.  Each lever is pinned
     individually (tests/test_nn.py, tests/test_fused_gp.py); this pins
-    the combination the drivers run when both flags are set (wave 12)."""
+    the combination the drivers run when both flags are set (wave 12).
+
+    The fixture draws from a DEDICATED RandomState so it is independent
+    of test execution order (the shared module RNG's stream shifts with
+    every test that runs before this one, and the tolerances below are
+    calibrated on this exact fixture).  Seed 1234 gives a well-conditioned
+    Kmm (measured eig range [1.4, 46], cond ~33), so the production-scale
+    jitter works and the fused block's documented O(jitter) perturbation
+    (gp/fused.py:35-39) stays below the asserted tolerances."""
+    rng = np.random.RandomState(1234)
     fpc, n_char, L, L_act, L_chr = 4, 3, 8, 3, 5
     b = fpc * n_char
     vae_ref = nets.SpritesVAE(L=L)
     vae_s2d = nets.SpritesVAE(L=L, s2d64=True)
     repr_net = nets.SpritesReprNet(L=L_chr)
-    images = jnp.asarray(RNG.rand(b, 64, 64, 3), dtype=jnp.float32)
+    images = jnp.asarray(rng.rand(b, 64, 64, 3), dtype=jnp.float32)
     vae_params = vae_ref.init(KEY, images)
     repr_params = repr_net.init(KEY, images)
 
     m, n_act = 6, 9
-    ip = RNG.randn(m, L_act + L_chr)
-    gplvm = RNG.randn(n_act, L_act)
-    cfg = SVGPConfig(jitter=1e-2, N_train=100)
+    ip = rng.randn(m, L_act + L_chr)
+    gplvm = rng.randn(n_act, L_act)
+    cfg = SVGPConfig(jitter=1e-4, N_train=100)
     gp = gpm.init_sprites_svgp(ip, gplvm, L_action=L_act, config=cfg)
-    action_ids = jnp.asarray(RNG.randint(0, n_act, b), dtype=jnp.float32)
+    action_ids = jnp.asarray(rng.randint(0, n_act, b), dtype=jnp.float32)
 
     def fwd(vae, params, impl):
         return models.forward_pass_svgpvae(
@@ -541,18 +550,18 @@ def test_sprites_forward_s2d64_fused_rejitter_composition():
     o_ref = fwd(vae_ref, params, "reference")
     o_combo = fwd(vae_s2d, params, "fused_rejitter")
     # The fused block's recon sufficient statistics carry a documented
-    # O(cfg.jitter) perturbation vs the two-pass path (gp/fused.py:35-39
-    # — below f32 noise at the production 1e-6, but this ill-conditioned
-    # random fixture needs jitter=1e-2, which inflates it to ~3e-5 of
-    # |inside_elbo_recon|; measured identical in f64, so it is jitter
-    # placement, not float reassociation).  The ELBO is a cancellation
-    # of large terms, so normalize by the dominating term's magnitude
-    # instead of asserting raw rtol on the small total.
+    # O(cfg.jitter) perturbation vs the two-pass path (gp/fused.py:35-39).
+    # On THIS fixture (seed 1234, jitter=1e-4) the measured normalized
+    # deltas are <= 5.4e-7 in f32 and <= 6.4e-7 in the f64 cross-check
+    # below, so the perturbation is jitter placement, not float
+    # reassociation; tolerances carry ~15x margin over the measurements.
+    # The ELBO is a cancellation of large terms, so normalize by the
+    # dominating term's magnitude instead of asserting raw rtol.
     scale = max(float(np.abs(o_ref.inside_elbo_recon)), 1.0)
     for f in ("recon_loss", "inside_elbo_recon", "inside_elbo_kl", "elbo"):
         a = float(getattr(o_ref, f))
         c = float(getattr(o_combo, f))
-        np.testing.assert_allclose(c / scale, a / scale, atol=2e-4,
+        np.testing.assert_allclose(c / scale, a / scale, atol=1e-5,
                                    err_msg=f)
 
     def loss(vae, p, impl):
@@ -566,9 +575,44 @@ def test_sprites_forward_s2d64_fused_rejitter_composition():
         assert np.all(np.isfinite(c))
         gscale = max(float(np.abs(a).max()), 1e-3)
         # GP-param gradients inherit the same O(jitter) perturbation
-        # (max normalized delta 3.2e-3 at this fixture's jitter=1e-2);
+        # (max normalized delta 1.5e-4 measured on this pinned fixture);
         # a genuine composition/wiring bug shows O(1) deltas here.
-        np.testing.assert_allclose(c / gscale, a / gscale, atol=5e-3)
+        np.testing.assert_allclose(c / gscale, a / gscale, atol=2e-3)
+
+    # f64 cross-check: the same two impls at float64 on the same fixture
+    # agree to the same O(jitter) level, verifying per-fixture that the
+    # residual f32 delta above is jitter placement, not precision loss.
+    jax.config.update("jax_enable_x64", True)
+    try:
+        def to64(t):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float64)
+                if jnp.issubdtype(jnp.result_type(x), jnp.floating) else x,
+                t)
+
+        p64 = to64(params)
+        img64 = jnp.asarray(np.asarray(images), dtype=jnp.float64)
+        act64 = jnp.asarray(np.asarray(action_ids), dtype=jnp.float64)
+
+        def fwd64(vae, impl):
+            return models.forward_pass_svgpvae(
+                vae, p64["vae"], p64["gp"], (img64, act64), KEY,
+                beta=0.001, C_ma=0.0, lagrange_mult=1.0, alpha=0.99,
+                kappa=np.sqrt(0.0075), geco=True, repr_apply=repr_net.apply,
+                repr_params=p64["repr"], frames_per_char=fpc,
+                gp_block_impl=impl)
+
+        r64 = fwd64(vae_ref, "reference")
+        c64 = fwd64(vae_s2d, "fused_rejitter")
+        s64 = max(float(np.abs(r64.inside_elbo_recon)), 1.0)
+        for f in ("recon_loss", "inside_elbo_recon", "inside_elbo_kl",
+                  "elbo"):
+            a = float(getattr(r64, f))
+            c = float(getattr(c64, f))
+            np.testing.assert_allclose(c / s64, a / s64, atol=1e-5,
+                                       err_msg=f"f64 {f}")
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_full_cholesky_head_end_to_end():
