@@ -325,12 +325,16 @@ def bench_svigp(peak):
     }
 
 
-def bench_sprites_train(peak, s2d64=False):
+def bench_sprites_train(peak, s2d64=False, gp_impl=None):
     """SPRITES SVGPVAE-Hensman GECO train step at reference scale:
     batch 500 (10 chars x 50 frames), 64x64x3, L=64, m=72 IPs
     (SPRITES_experiment.py defaults).  s2d64 benches the exact
     space-to-depth 64x64-conv rewrite (--s2d64, nn.S2DConv3x3 — the
-    round-4 wave-11 f32 step win; parity pinned in tests/test_nn.py)."""
+    round-4 wave-11 f32 step win; parity pinned in tests/test_nn.py).
+    gp_impl overrides the resolved GP-block impl (None = the 'auto'
+    dispatch, fused_rejitter_pallas on TPU since r5 — the suite's
+    sprites_train_ref line keeps the two-pass anchor comparable to
+    pre-r5 history)."""
     import jax
     import jax.numpy as jnp
     from svgpvae_tpu import gp as gpm
@@ -365,6 +369,8 @@ def bench_sprites_train(peak, s2d64=False):
     params = {"vae": vae_params, "repr": repr_params, "gp": gp}
     kappa = float(np.sqrt(0.02))
 
+    impl = GP_IMPL_SPRITES if gp_impl is None else gp_impl
+
     def loss_fn(params, batch, key, geco, step):
         alpha = train.geco_effective_alpha(step, 0.99)
         out = models.forward_pass_svgpvae(
@@ -372,7 +378,7 @@ def bench_sprites_train(peak, s2d64=False):
             C_ma=geco.C_ma, lagrange_mult=geco.lagrange_mult, alpha=alpha,
             kappa=kappa, clip_qs=True, geco=True,
             repr_apply=repr_net.apply, repr_params=params["repr"],
-            frames_per_char=fpc, gp_block_impl=GP_IMPL_SPRITES)
+            frames_per_char=fpc, gp_block_impl=impl)
         new_geco = train.GECOState(C_ma=out.C_ma,
                                    lagrange_mult=out.lagrange_mult)
         return out.elbo, (new_geco, {"recon": out.recon_loss})
@@ -401,7 +407,8 @@ def bench_sprites_train(peak, s2d64=False):
         "mfu": _mfu(flops_epoch, reps / elapsed, peak),
         "hbm_util": _hbm_util(bytes_epoch, reps / elapsed),
         "config": (f"batch {b}, 64x64x3, L{L}, m{n_actions}, GECO, "
-                   f"epoch-scan{', s2d64' if s2d64 else ''}"),
+                   f"epoch-scan, gp={impl}"
+                   f"{', s2d64' if s2d64 else ''}"),
     }
 
 
@@ -922,10 +929,10 @@ def main() -> None:
 
     global GP_IMPL, GP_IMPL_SPRITES, GP_IMPL_TITSIAS
     from svgpvae_tpu.models import resolve_gp_block_impl
-    # per-workload: auto -> reference on SPRITES (closed-form-KL carve-out,
-    # models.resolve_gp_block_impl docstring), fused_pallas-on-TPU
-    # elsewhere; Titsias configs -> the fused determinant-lemma bound on
-    # every backend (the dense two-pass bound is f32-fragile, PARITY #12)
+    # per-workload measured dispatch (models.GP_BLOCK_AUTO_TABLE): auto ->
+    # fused_rejitter_pallas on SPRITES-TPU (r5 flip, 2-seed converged
+    # evidence), fused_pallas-on-TPU elsewhere; Titsias configs -> the
+    # fused determinant-lemma bound on every backend (PARITY #12)
     GP_IMPL_SPRITES = resolve_gp_block_impl(GP_IMPL, workload="sprites")
     GP_IMPL_TITSIAS = resolve_gp_block_impl(GP_IMPL, titsias=True)
     GP_IMPL = resolve_gp_block_impl(GP_IMPL)
@@ -944,6 +951,12 @@ def main() -> None:
                      ("sprites_train", lambda: bench_sprites_train(peak)),
                      ("sprites_train_s2d",
                       lambda: bench_sprites_train(peak, s2d64=True)),
+                     # two-pass anchor: comparable to pre-r5 history now
+                     # that 'auto' resolves sprites-Hensman-TPU to
+                     # fused_rejitter_pallas (RESULTS.md r5 wave 12)
+                     ("sprites_train_ref",
+                      lambda: bench_sprites_train(peak,
+                                                  gp_impl="reference")),
                      ("sprites_eval", lambda: bench_sprites_eval(peak)),
                      ("sprites_precompute", bench_sprites_precompute),
                      ("ball_train", lambda: bench_ball(peak)),

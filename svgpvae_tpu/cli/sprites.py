@@ -118,13 +118,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "— probes whether uniform bf16's converged-"
                         "horizon quality floor (RESULTS.md wave 24) "
                         "lives in the heads")
-    p.add_argument("--s2d64", action="store_true",
+    p.add_argument("--s2d64", action="store_true", default=None,
                    help="compute every 64x64-resolution conv in "
                         "space-to-depth(2) coordinates (nn.S2DConv3x3: "
                         "4x MXU lane fill, 4x fewer pixels; exact "
                         "rewrite, same parameter tree — checkpoints "
-                        "interop); perf knob measured in "
-                        "tools/profile_step.py --workload sprites")
+                        "interop).  Default: ON for f32 runs on TPU "
+                        "(the measured 1.09x exact step win, RESULTS.md "
+                        "r4 wave 11 + r5 wave 12), OFF under --bf16/"
+                        "--bf16_hybrid (does not compose: bf16 already "
+                        "doubles effective lane throughput) and off-TPU")
+    p.add_argument("--no_s2d64", dest="s2d64", action="store_false",
+                   help="force the plain NHWC 64x64 convs even where "
+                        "--s2d64 would default on")
     p.add_argument("--fused_upsample", action="store_true",
                    help="compute each decoder upsample2x+Conv pair as a "
                         "single conv at the pre-upsample resolution "
@@ -251,6 +257,14 @@ def run_experiment(args) -> dict:
         args.gp_block_impl, workload="sprites",
         titsias=args.elbo == "SVGPVAE_Titsias")
     print(f"gp_block_impl resolved to: {args.gp_block_impl}")
+    if args.s2d64 is None:
+        # default ON for f32 TPU runs: exact rewrite, measured 1.09x step
+        # (RESULTS.md r4 wave 11; composed gate r5 wave 12).  bf16 runs
+        # stay plain — the two levers attack the same lane-fill
+        # bottleneck and s2d+bf16 measured SLOWER than plain bf16.
+        args.s2d64 = (jax.default_backend() == "tpu"
+                      and not (args.bf16 or args.bf16_hybrid))
+        print(f"s2d64 resolved to: {args.s2d64}")
     assert args.object_kernel_normalize + args.K_SE <= 1, \
         "at most one GP kernel engineering flag at once"
     fpc_train = 50  # train frames per character (SPRITES_experiment.py:37)

@@ -21,75 +21,71 @@ from svgpvae_tpu import linalg
 
 # q-network variance clip range (reference: SVGPVAE_model.py:858-859)
 QVAR_CLIP = (1e-3, 10.0)
+# GP posterior variance clip for SPRITES (reference: SVGPVAE_model.py:891-892)
+PVAR_CLIP = (1e-4, 100.0)
+
+
+# Measured dispatch for --gp_block_impl 'auto':
+# (workload, bound, backend) -> (impl, one-line evidence).  Full history
+# in RESULTS.md + PARITY.md #10/#12/#13; a test enumerates every cell
+# (tests/test_models.py::test_resolve_gp_block_impl_table).
+GP_BLOCK_AUTO_TABLE = {
+    # --- Hensman / plain inside-ELBO -----------------------------------
+    ("mnist", "hensman", "tpu"): ("fused_pallas",
+        "1.99x north-star step; 2000-ep cgen in seed band (r3)"),
+    ("mnist", "hensman", "other"): ("reference",
+        "fused 0.81x on CPU; two-pass is the parity anchor"),
+    ("ball", "hensman", "tpu"): ("fused_pallas",
+        "2.56x ball step; 25k-step trajectory MSE matched (r3)"),
+    ("ball", "hensman", "other"): ("reference",
+        "same CPU read as mnist"),
+    # SPRITES: the identity-KL impls (fused / fused_pallas) stay OFF this
+    # workload on every backend — the product-of-linear kernel is rank-
+    # deficient at m=72 and the closed-form KL identity diverges from the
+    # two-pass rejittered KL by ~3.6 RELATIVE in exact f64 (full-scale
+    # runs plateau at cgen 0.0204 vs 0.0164; r3).  fused_rejitter_pallas
+    # keeps the one-pass dedup but computes the exact two-pass rejittered
+    # KL from the Pallas inverse stack, so it is null-space-safe.
+    ("sprites", "hensman", "tpu"): ("fused_rejitter_pallas",
+        "1.15-1.25x step (8.2-8.8 vs 9.6-10.0 ms p50); converged 360-ep "
+        "cgen in-band on 2 seeds: 0.01482 s0 (r4 w9) / 0.01461 s1 (r5 "
+        "w12); 30-ep gates 0.01645/0.01644"),
+    ("sprites", "hensman", "other"): ("reference",
+        "two-pass parity anchor; fused variants slower on CPU"),
+    # --- Titsias bound: fused determinant-lemma form everywhere --------
+    # (the dense two-pass bound's f32 Kmm solve makes cov indefinite at
+    # O(1) scale once anything drives the spectrum hard — measured
+    # lambda_min(cov) = -22, tools/debug_titsias.py; the Woodbury bound
+    # has no dense matrix to NaN, and is 3.5-5.7x faster scan-timed)
+    ("mnist", "titsias", "tpu"): ("fused_pallas",
+        "5.7x vs dense scan-timed; 1000-ep quality matched (r3)"),
+    ("mnist", "titsias", "other"): ("fused",
+        "Woodbury w/ Cholesky solves; dense bound is f32-fragile"),
+    ("ball", "titsias", "tpu"): ("fused_pallas",
+        "3.01x ball step, MSE matched (r3 wave 11)"),
+    ("ball", "titsias", "other"): ("fused",
+        "same read as mnist"),
+    # sprites+Titsias: Cholesky Woodbury — the dense bound NaNs from the
+    # rank-deficient spectrum (runaway from step 0, r3 wave 13), and the
+    # Pallas explicit inverse corrupts p_m to ~1.7e-2 there (r3).
+    ("sprites", "titsias", "tpu"): ("fused",
+        "full-scale gate clean at cgen 0.01626 where dense NaNs (r3)"),
+    ("sprites", "titsias", "other"): ("fused",
+        "same spectrum argument on every backend"),
+}
 
 
 def resolve_gp_block_impl(impl: str, workload: str = "mnist",
                           titsias: bool = False) -> str:
-    """Resolve --gp_block_impl 'auto' by backend, workload, and bound.
-
-    On TPU the fused block + Pallas inverse megakernel is the measured
-    winner on the MNIST and ball workloads (RESULTS.md round 3: 1.99x
-    MNIST north-star, 2.56x ball) with quality pinned to the two-pass
-    path at 2000-epoch / 25k-step horizons; off-TPU (CPU smoke runs,
-    tests) the two-pass reference path is faster (fused 0.81x on CPU)
-    and is the parity anchor, so 'auto' keeps it.
-
-    SPRITES is carved out: its product-of-linear kernel makes Kmm
-    numerically singular at m=72 (measured lambda_min ~ -2e-14 — rank
-    << m; only the 1e-6 jitter keeps it PD), and on such a spectrum the
-    fused block's closed-form KL identity (logdet A_hat = 2 logdet Kmm
-    - logdet Sigma) diverges from the two-pass path's A_hat-rejittered
-    KL by ~3.6 RELATIVE in exact float64 arithmetic — the identity
-    charges the kernel's null-space directions log(jitter^2/lambda_Sigma)
-    apiece while the rejittered form ignores them.  That extra KL
-    pressure pins GP/GPLVM learning: full-scale 30-epoch runs plateau
-    at cgen 0.0204 under BOTH 'fused' and 'fused_pallas' (bit-identical
-    best MSE — semantics, not kernel numerics) vs 0.0164 for the
-    two-pass path (RESULTS.md round 3).  'auto' therefore resolves to
-    'reference' for workload='sprites' on every backend; the fused
-    impls stay available behind the explicit flag.  'fused_rejitter'
-    (one-pass dedup + the exact two-pass rejittered KL, gp/fused.py) is
-    the null-space-safe fused variant: its full-scale 30-epoch TPU gate
-    PASSED (cgen 0.01649 vs two-pass 0.01640; the identity-KL impls
-    plateau at 0.0204), but its speed on SPRITES is neutral within
-    tunnel noise (the extra A_hat refactorization eats the one-pass
-    savings on this conv-dominated step), so 'auto' keeps the two-pass
-    parity anchor there (RESULTS.md round 3).
-
-    Titsias configs resolve to the fused (determinant-lemma) bound on
-    EVERY backend: it is 3.5-5.7x faster scan-timed at north-star
-    shapes and removes the dense covariance's float32 NaN surface —
-    once the PARITY #13 objective runaway (fixed separately; the
-    entropy-form CE is the actual stability fix) drives encoder means
-    huge, the dense path's f32 Kmm solve makes cov numerically
-    indefinite at O(1) scale (measured lambda_min(cov) = -22,
-    tools/debug_titsias.py) and its Cholesky NaNs, while the Woodbury
-    bound's ridge-protected (m, m) factorizations stay finite.  On
-    SPRITES, Titsias resolves to 'fused' (Cholesky Woodbury; the
-    Pallas explicit inverse is kept off that rank-deficient spectrum,
-    where it corrupts p_m to ~1.7e-2).  The two-pass dense path stays
-    the parity anchor for formula-level tests.
-    """
+    """Resolve --gp_block_impl 'auto' via the measured dispatch table
+    GP_BLOCK_AUTO_TABLE (workload x bound x backend); explicit impls pass
+    through untouched.  Evidence one-liners live on each table cell."""
     if impl != "auto":
         return impl
     import jax
-    on_tpu = jax.default_backend() == "tpu"
-    if titsias:
-        if workload == "sprites":
-            # Woodbury bound, Cholesky solves: the full-scale gate is
-            # clean at cgen 0.01626 where the dense two-pass path NaNs
-            # at epoch ~23 (its rank-deficient Kmm puts the dense bound
-            # in the runaway regime from step 0); the Pallas explicit
-            # inverse stays off this spectrum (it corrupts p_m to
-            # ~1.7e-2 there — the round-3 Hensman finding applies to
-            # the shared posterior stack too)
-            return "fused"
-        return "fused_pallas" if on_tpu else "fused"
-    if workload == "sprites":
-        return "reference"
-    return "fused_pallas" if on_tpu else "reference"
-# GP posterior variance clip for SPRITES (reference: SVGPVAE_model.py:891-892)
-PVAR_CLIP = (1e-4, 100.0)
+    backend = "tpu" if jax.default_backend() == "tpu" else "other"
+    bound = "titsias" if titsias else "hensman"
+    return GP_BLOCK_AUTO_TABLE[(workload, bound, backend)][0]
 
 
 class SVGPVAEOutputs(NamedTuple):

@@ -346,8 +346,11 @@ def test_fused_kl_diverges_on_rank_deficient_kernel():
     2 ld K - ld Sigma charges each null direction
     log(jitter^2/sigma_ridge) where the rejittered two-pass form pays
     ~log(jitter).  If this test ever fails "the good way" (the gap
-    closes), the fused impls may be re-gated for SPRITES; until then
-    resolve_gp_block_impl must keep sprites -> reference."""
+    closes), the identity-KL fused impls may be re-gated for SPRITES;
+    until then resolve_gp_block_impl must keep them off that workload
+    (since r5 the sprites-Hensman-TPU cell is fused_rejitter_pallas,
+    which computes the exact two-pass rejittered KL and is immune to
+    this divergence — see GP_BLOCK_AUTO_TABLE)."""
     R = np.random.RandomState(5)
     b, L, m, L_act, L_char, n_act = 40, 4, 24, 3, 4, 8
     jax.config.update("jax_enable_x64", True)

@@ -29,35 +29,57 @@ def _mnist_setup(b=8, L=4, M=3, m=6, n_obj=10, titsias=False):
     return vae, vae_params, gp, images, aux
 
 
-def test_resolve_gp_block_impl_workload_aware():
-    """'auto' is backend- AND workload-aware: SPRITES must resolve to the
-    two-pass path on every backend (its rank-deficient kernel breaks the
-    fused closed-form-KL equivalence — PARITY.md #10, RESULTS.md round
-    3); explicit impls pass through untouched."""
-    for workload in ("mnist", "ball", "sprites"):
-        for impl in ("reference", "fused", "fused_pallas"):
+def test_resolve_gp_block_impl_table():
+    """'auto' dispatch is a declarative table — enumerate EVERY
+    (workload, bound, backend) cell so a default flip can't drift past
+    the suite, and pin the cells the current backend resolves to.
+    Explicit impls pass through untouched."""
+    # the table is total over workloads x bounds x backends
+    workloads = ("mnist", "ball", "sprites")
+    bounds = ("hensman", "titsias")
+    backends = ("tpu", "other")
+    valid = {"reference", "fused", "fused_pallas", "fused_rejitter",
+             "fused_rejitter_pallas"}
+    assert set(models.svgpvae.GP_BLOCK_AUTO_TABLE) == {
+        (w, b, k) for w in workloads for b in bounds for k in backends}
+    for cell, (impl, evidence) in models.svgpvae.GP_BLOCK_AUTO_TABLE.items():
+        assert impl in valid, cell
+        assert isinstance(evidence, str) and evidence, cell
+
+    # explicit impls pass through on every workload
+    for workload in workloads:
+        for impl in sorted(valid):
             assert models.resolve_gp_block_impl(impl, workload) == impl
-    assert models.resolve_gp_block_impl("auto", "sprites") == "reference"
-    expected = ("fused_pallas" if jax.default_backend() == "tpu"
-                else "reference")
-    assert models.resolve_gp_block_impl("auto", "mnist") == expected
-    assert models.resolve_gp_block_impl("auto", "ball") == expected
-    # Titsias configs resolve to the fused determinant-lemma bound on
-    # every backend (the dense two-pass bound is f32-fragile in the
-    # long-length-scale regime — PARITY.md #11/#12)
-    expected_t = ("fused_pallas" if jax.default_backend() == "tpu"
-                  else "fused")
-    assert models.resolve_gp_block_impl("auto", "mnist",
-                                        titsias=True) == expected_t
-    assert models.resolve_gp_block_impl("auto", "ball",
-                                        titsias=True) == expected_t
-    assert models.resolve_gp_block_impl("reference", "mnist",
-                                        titsias=True) == "reference"
-    # sprites+Titsias: Cholesky Woodbury on every backend (dense bound
-    # NaNs from the rank-deficient spectrum; Pallas explicit inverse
-    # corrupts p_m there)
-    assert models.resolve_gp_block_impl("auto", "sprites",
-                                        titsias=True) == "fused"
+
+    # the expected cell values (the r5 default set): identity-KL fused
+    # impls on the well-conditioned kernels, fused_rejitter_pallas on
+    # SPRITES Hensman TPU (2-seed converged evidence, RESULTS.md r5
+    # wave 12), Woodbury-Cholesky for sprites Titsias, two-pass
+    # reference anchors off-TPU for Hensman
+    expected = {
+        ("mnist", "hensman", "tpu"): "fused_pallas",
+        ("mnist", "hensman", "other"): "reference",
+        ("ball", "hensman", "tpu"): "fused_pallas",
+        ("ball", "hensman", "other"): "reference",
+        ("sprites", "hensman", "tpu"): "fused_rejitter_pallas",
+        ("sprites", "hensman", "other"): "reference",
+        ("mnist", "titsias", "tpu"): "fused_pallas",
+        ("mnist", "titsias", "other"): "fused",
+        ("ball", "titsias", "tpu"): "fused_pallas",
+        ("ball", "titsias", "other"): "fused",
+        ("sprites", "titsias", "tpu"): "fused",
+        ("sprites", "titsias", "other"): "fused",
+    }
+    for cell, impl in expected.items():
+        assert models.svgpvae.GP_BLOCK_AUTO_TABLE[cell][0] == impl, cell
+
+    # resolve() reads the table for the live backend
+    backend = "tpu" if jax.default_backend() == "tpu" else "other"
+    for w in workloads:
+        for titsias in (False, True):
+            bound = "titsias" if titsias else "hensman"
+            assert models.resolve_gp_block_impl("auto", w, titsias=titsias) \
+                == expected[(w, bound, backend)]
 
 
 def test_svgpvae_forward_fused_rejitter_matches_reference():
