@@ -105,6 +105,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "scale ridge that drifts the noise to 17+ over "
                         "1400 joint epochs while cgen stalls "
                         "(RESULTS.md round 4)")
+    p.add_argument("--casale_predict_alpha", type=float, default=0.0,
+                   help="pin the cgen smoother's latent-GP noise to this "
+                        "value at PREDICT time only (0 = use the trained "
+                        "alpha, reference semantics — "
+                        "GPVAE_Casale_model.py:158-203).  Probes whether "
+                        "the scale ridge (RESULTS.md r4) hurts only the "
+                        "predictive smoother")
+    p.add_argument("--casale_taylor_every", type=int, default=1,
+                   help="refresh the full-train encode Z (and with it the "
+                        "Taylor-coefficient sample) every K steps instead "
+                        "of per step (1 = reference parity, "
+                        "MNIST_experiment.py:1020-1023).  V and the "
+                        "Taylor coefficients are still recomputed from "
+                        "the held Z every step, so GP-hyperparameter "
+                        "gradients stay exact; between refreshes the VAE "
+                        "loses only its gradient channel through the "
+                        "full-train encode (documented divergence; probe "
+                        "per VERDICT r4 item 5)")
     p.add_argument("--N_t", type=int, default=None)
     # runtime extensions
     p.add_argument("--eval_every", type=int, default=10,
@@ -170,6 +188,42 @@ def build_parser() -> argparse.ArgumentParser:
 # ---------------------------------------------------------------------------
 # data bootstrap
 # ---------------------------------------------------------------------------
+
+
+def epoch_chunk_fallback_reasons(chunk: int, eval_every: int,
+                                 nr_epochs: int, svgpvae: bool = True,
+                                 regime=(), bias_analysis: bool = False,
+                                 profile_dir=None) -> list:
+    """Why --epoch_chunk must silently degrade to unchunked, as
+    user-readable reasons (empty list = chunking is valid).
+
+    Chunking runs `chunk` whole epochs as one scan-of-scans program, so
+    anything that needs the host between epochs — a VAE-phase regime
+    switch, per-epoch bias-analysis hooks, a single-epoch profiler trace
+    — or a cadence that does not align with chunk boundaries breaks the
+    exact-semantics guarantee (every eval/saver row must see the same
+    post-epoch state as the unchunked loop).  Documented in docs/cli.md
+    'epoch_chunk interaction rules'; the warning text is pinned by
+    tests/test_e2e_mnist.py."""
+    reasons = []
+    if chunk <= 1:
+        return reasons
+    if not svgpvae:
+        reasons.append("SVGPVAE/Titsias (or SVIGP) runners only")
+    if any(r == "VAE" for r in regime):
+        reasons.append("--opt_regime has a VAE phase (regime switches "
+                       "need per-epoch host control)")
+    if bias_analysis:
+        reasons.append("--bias_analysis hooks run per epoch on the host")
+    if profile_dir:
+        reasons.append("--profile_dir traces exactly one epoch program")
+    if eval_every % chunk:
+        reasons.append(f"chunk ({chunk}) must divide --eval_every "
+                       f"({eval_every}) so evals land on chunk boundaries")
+    if nr_epochs % chunk:
+        reasons.append(f"chunk ({chunk}) must divide the epoch count "
+                       f"({nr_epochs})")
+    return reasons
 
 
 def ensure_dataset(args) -> None:
@@ -573,15 +627,15 @@ def run_svgpvae(args) -> dict:
     # cadences that align with chunk boundaries so every eval/saver row
     # still sees the exact post-epoch state it would have seen unchunked.
     chunk = max(1, args.epoch_chunk)
-    chunk_ok = (chunk > 1 and is_svgpvae and not args.bias_analysis
-                and not args.profile_dir
-                and args.eval_every % chunk == 0
-                and nr_epochs % chunk == 0
-                and all(r != "VAE" for r in regime))
-    if args.epoch_chunk > 1 and not chunk_ok:
-        print("warning: --epoch_chunk needs a single non-VAE regime, "
-              "chunk | eval_every and | nr_epochs, and no "
-              "--bias_analysis/--profile_dir; running unchunked")
+    reasons = epoch_chunk_fallback_reasons(
+        chunk, args.eval_every, nr_epochs,
+        svgpvae=is_svgpvae, regime=regime,
+        bias_analysis=args.bias_analysis, profile_dir=args.profile_dir)
+    chunk_ok = chunk > 1 and not reasons
+    if args.epoch_chunk > 1 and reasons:
+        print(f"warning: --epoch_chunk {chunk} disabled (running "
+              f"unchunked, per-epoch dispatch): {'; '.join(reasons)} "
+              "— see docs/cli.md 'epoch_chunk interaction rules'")
         chunk = 1
     multi_epoch_svgpvae = (
         train.make_multi_epoch_fn(loss_svgpvae, tx, donate=True,
@@ -959,12 +1013,13 @@ def run_svigp(args) -> dict:
     # per-epoch readback (~60 ms) dominates its apparent step time
     # (driver-measured 4.15 ms/step at 16k epochs vs sub-ms compute)
     chunk = max(1, args.epoch_chunk)
-    chunk_ok = (chunk > 1 and not args.profile_dir
-                and args.eval_every % chunk == 0
-                and args.nr_epochs % chunk == 0)
-    if args.epoch_chunk > 1 and not chunk_ok:
-        print("warning: --epoch_chunk needs chunk | eval_every and "
-              "| nr_epochs and no --profile_dir; running unchunked")
+    reasons = epoch_chunk_fallback_reasons(
+        chunk, args.eval_every, args.nr_epochs,
+        profile_dir=args.profile_dir)
+    if args.epoch_chunk > 1 and reasons:
+        print(f"warning: --epoch_chunk {chunk} disabled (running "
+              f"unchunked, per-epoch dispatch): {'; '.join(reasons)} "
+              "— see docs/cli.md 'epoch_chunk interaction rules'")
         chunk = 1
     multi_epoch_fn = (train.make_multi_epoch_fn(loss_fn, tx, donate=True,
                                                 shuffle=args.reshuffle)
@@ -1139,6 +1194,62 @@ def run_casale(args) -> dict:
         return -out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss,
                                   "gp_prior": jnp.zeros(())})
 
+    # --casale_taylor_every K > 1: hold the full-train latent sample Z for
+    # K cadence steps (refreshing the expensive N_train conv encode every
+    # K-th step), while V + the Taylor coefficients are still recomputed
+    # from the held Z EVERY step — GP-hyperparameter gradients stay exact;
+    # the VAE drops only its gradient channel through the full-train
+    # encode between refreshes.  K=1 keeps the reference per-step
+    # semantics (MNIST_experiment.py:1020-1023) via the plain loss above.
+    K_cad = max(1, args.casale_taylor_every)
+
+    def loss_casale_frozen(params, batch, key, geco, step, Z):
+        V = gpm.v_matrix(params["gp"], angles_j, oid_j, mask_j)
+        a, B, c = gpm.taylor_coeffs(params["gp"], Z, V)
+        out = models.forward_pass_casale(vae, params["vae"], params["gp"],
+                                         batch, key, a, B, c, V, args.beta,
+                                         clip_qs=args.clip_qs)
+        return out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss,
+                                 "gp_prior": out.gp_prior_term})
+
+    def _cadence_step(tx_r):
+        import optax
+
+        def step_fn(state, zc, batch):
+            Z, age = zc
+            key, k_enc, subkey = jax.random.split(state.key, 3)
+            Z = jax.lax.cond(
+                age % K_cad == 0,
+                lambda: models.encode_full_casale(
+                    vae, state.params["vae"], full_images, k_enc,
+                    clip_qs=args.clip_qs),
+                lambda: Z)
+            (loss, (geco, metrics)), grads = jax.value_and_grad(
+                loss_casale_frozen, has_aux=True)(
+                    state.params, batch, subkey, state.geco, state.step, Z)
+            updates, opt_state = tx_r.update(grads, state.opt_state,
+                                             state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=opt_state, geco=geco, key=key)
+            return state, (Z, age + 1), dict(metrics, loss=loss)
+
+        return step_fn
+
+    def _cadence_epoch(tx_r):
+        sf = _cadence_step(tx_r)
+
+        def epoch_fn(state, zc, batches):
+            def body(carry, batch):
+                st, z = carry
+                st, z, m = sf(st, z, batch)
+                return (st, z), m
+
+            (state, zc), ms = jax.lax.scan(body, (state, zc), batches)
+            return state, zc, ms
+
+        return jax.jit(epoch_fn)
+
     gp_mask = train.trainable_mask(
         params, lambda p, l: jax.tree_util.keystr(p).startswith("['gp']"))
     vae_mask = train.trainable_mask(
@@ -1166,6 +1277,13 @@ def run_casale(args) -> dict:
                                         donate=False),
               "VAE": train.make_epoch_fn(loss_vae, txs["VAE"],
                                          donate=False)}
+    cad_steps, cad_epochs, zcarry = None, None, None
+    if K_cad > 1:
+        cad_steps = {r: jax.jit(_cadence_step(txs[r]))
+                     for r in ("joint", "GP")}
+        cad_epochs = {r: _cadence_epoch(txs[r]) for r in ("joint", "GP")}
+        zcarry = (jnp.zeros((len(train_d["images"]), args.L), jnp.float32),
+                  jnp.asarray(0, jnp.int32))
     full_batches = train.stack_batches(train_d, args.batch_size)
     n_full = full_batches[0].shape[0]
     tail_n = len(train_d["images"]) - n_full * args.batch_size
@@ -1186,7 +1304,8 @@ def run_casale(args) -> dict:
             vae, params["vae"], params["gp"],
             jnp.asarray(test_d["images"], jnp.float32),
             jnp.asarray(test_d["aux_data"], jnp.float32),
-            full_aux, V, Z, k2)
+            full_aux, V, Z, k2,
+            noise_override=args.casale_predict_alpha or None)
 
     nr_epochs, regime = train.parse_opt_regime(list(args.opt_regime))
     cgen_history = []
@@ -1204,13 +1323,21 @@ def run_casale(args) -> dict:
         do_trace = bool(args.profile_dir) and not traced_any and timed
         traced_any = traced_any or do_trace
         trace = utils.trace_if(args.profile_dir or "", enabled=do_trace)
+        cadenced = K_cad > 1 and r != "VAE"
         with trace, (timer if timed else contextlib.nullcontext()):
-            state, ms = epochs[r](state, full_batches)
+            if cadenced:
+                state, zcarry, ms = cad_epochs[r](state, zcarry,
+                                                  full_batches)
+            else:
+                state, ms = epochs[r](state, full_batches)
             elbos = list(np.asarray(ms["elbo"]))
             losses = list(np.asarray(ms["recon"]))
         steps_done += n_full
         if tail_batch is not None:
-            state, m = steps[r](state, tail_batch)
+            if cadenced:
+                state, zcarry, m = cad_steps[r](state, zcarry, tail_batch)
+            else:
+                state, m = steps[r](state, tail_batch)
             elbos.append(float(m["elbo"]))
             losses.append(float(m["recon"]))
             steps_done += 1

@@ -105,6 +105,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "sampling stream, keeping all inits and the "
                         "repr-net pretrain on --seed (basin-diagnosis "
                         "knob, RESULTS.md round 4)")
+    p.add_argument("--basin_retry", type=int, default=0,
+                   help="plateau-basin rescue (SVGPVAE_Hensman family): the "
+                        "SPRITES Hensman run family has a reproducible "
+                        "attractor near cgen 0.0204 that SOME (binary, "
+                        "seed) pairs fall into from epoch 0 — cgen starts "
+                        "~0.0206 and never descends, while good-basin runs "
+                        "descend from their first eval (RESULTS.md r4 "
+                        "waves 5/10).  With N > 0: after "
+                        "--basin_detect_evals cgen evals, if the best cgen "
+                        "so far has not descended by --basin_detect_rel "
+                        "relative to the first eval, restart the main loop "
+                        "(same post-pretrain params/inits, re-split "
+                        "sampling stream — the --main_seed isolation) up "
+                        "to N times.  0 disables (default)")
+    p.add_argument("--basin_detect_evals", type=int, default=4,
+                   help="number of cgen evals the basin detector waits "
+                        "before judging (epoch ~= this * --eval_every)")
+    p.add_argument("--basin_detect_rel", type=float, default=0.03,
+                   help="minimum relative cgen descent (first eval -> best "
+                        "so far) that counts as escaping the plateau")
     p.add_argument("--resume_dir", type=str, default=None,
                    help="existing run dir to resume from (restores the full "
                         "TrainState from its ckpt/ and skips pretraining)")
@@ -267,6 +287,9 @@ def run_experiment(args) -> dict:
         print(f"s2d64 resolved to: {args.s2d64}")
     assert args.object_kernel_normalize + args.K_SE <= 1, \
         "at most one GP kernel engineering flag at once"
+    assert not (args.basin_retry and args.resume_dir), \
+        "--basin_retry restarts from the post-pretrain params and cannot " \
+        "be combined with --resume_dir"
     fpc_train = 50  # train frames per character (SPRITES_experiment.py:37)
 
     ensure_dataset(args)
@@ -638,7 +661,14 @@ def run_experiment(args) -> dict:
     steps_done = start_steps = int(state.step)  # nonzero on resume
     t_start = time.time()
     timer = utils.StepTimer(steps_per_block=n_full)
-    for epoch in range(nr_epochs):
+    # --basin_retry: snapshot the post-pretrain params on the HOST (the
+    # device buffers are donated into the first epoch program, so a
+    # restart cannot reuse them directly)
+    params_host = jax.device_get(params) if args.basin_retry else None
+    basin_attempt = 0
+    epoch = 0
+    while epoch < nr_epochs:
+        plateau = False
         t_epoch = time.time()
         trace = utils.trace_if(args.profile_dir or "",
                                enabled=bool(args.profile_dir) and epoch == 1)
@@ -734,6 +764,13 @@ def run_experiment(args) -> dict:
                 cgen_history.append((epoch, cgen_mse))
                 print(f"  cgen test MSE: {cgen_mse:.5f}")
 
+                if (args.basin_retry and basin_attempt < args.basin_retry
+                        and len(cgen_history) == args.basin_detect_evals):
+                    first_cgen = cgen_history[0][1]
+                    best_cgen = min(c for _, c in cgen_history)
+                    if best_cgen > (1 - args.basin_detect_rel) * first_cgen:
+                        plateau = True
+
                 best = min(cgen_history, key=lambda x: x[1])[1]
                 if run_dir and cgen_mse <= best:
                     with open(os.path.join(run_dir, "cgen_images.p"),
@@ -757,6 +794,33 @@ def run_experiment(args) -> dict:
             if run_dir and args.save_model_weights:
                 utils.save_checkpoint(os.path.join(run_dir, "ckpt"), state,
                                       steps_done)
+
+        epoch += 1
+        if plateau:
+            basin_attempt += 1
+            first_cgen = cgen_history[0][1]
+            best_cgen = min(c for _, c in cgen_history)
+            print(f"basin detector: cgen has not descended "
+                  f"{args.basin_detect_rel:.0%} from its first eval "
+                  f"({first_cgen:.5f} -> best {best_cgen:.5f}) after "
+                  f"{len(cgen_history)} evals — plateau attractor; "
+                  f"restarting main loop (attempt {basin_attempt}/"
+                  f"{args.basin_retry}) with a re-split sampling stream")
+            # rebuild the stream root from the seed args — main_key itself
+            # was donated into the epoch program with the TrainState
+            base_key = (jax.random.PRNGKey(args.main_seed)
+                        if args.main_seed >= 0
+                        else jax.random.fold_in(
+                            jax.random.PRNGKey(args.seed), 202))
+            retry_key = jax.random.fold_in(base_key, 7000 + basin_attempt)
+            fresh_params = jax.tree_util.tree_map(jnp.asarray, params_host)
+            state = train.TrainState.create(fresh_params, tx, retry_key)
+            if mesh is not None:
+                state = parallel.replicate(mesh, state)
+            cgen_history = []
+            steps_done = start_steps
+            timer = utils.StepTimer(steps_per_block=n_full)
+            epoch = 0
 
     elapsed = time.time() - t_start
     run_steps = steps_done - start_steps

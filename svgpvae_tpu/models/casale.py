@@ -89,15 +89,25 @@ def forward_pass_casale(vae, vae_params, gp: CasaleGP, batch, key,
 
 def predict_cgen_casale(vae, vae_params, gp: CasaleGP, test_images: Array,
                         test_aux: Array, train_aux: Array, V: Array,
-                        latent_train: Array, key, take_mean: bool = False):
+                        latent_train: Array, key, take_mean: bool = False,
+                        noise_override=None):
     """Full-GP predictive posterior via the Woodbury inverse (reference:
     predict_test_set_Casale, GPVAE_Casale_model.py:158-203).
 
     train_aux rows are [global_id, object_id, angle, pca...] (sorted-train
     layout); test_aux rows are [object_id, angle, pca...].
     Returns (recon_images, mean per-pixel MSE).
+
+    `noise_override` (None = reference semantics) replaces the TRAINED
+    latent-GP noise alpha in the predictive smoother only — training is
+    untouched.  Probe for the Casale scale-ridge diagnosis (RESULTS.md r4:
+    alpha drifts 0.1 -> 17+ along an ELBO ridge while cgen stalls); if
+    the ridge hurts only the smoother, a pinned predict-time noise
+    recovers quality.  Exposed as cli.mnist --casale_predict_alpha.
     """
     L = latent_train.shape[1]
+    noise = casale_noise(gp) if noise_override is None else \
+        jnp.asarray(noise_override, dtype=latent_train.dtype)
 
     # the N-sized predictive solves are cancellation-heavy; keep them at
     # full matmul precision even when the global default is relaxed for
@@ -105,7 +115,7 @@ def predict_cgen_casale(vae, vae_params, gp: CasaleGP, test_images: Array,
     @linalg.precise
     def posterior_mean_var():
         K_tt = casale_kernel_matrix(gp, test_aux, train_aux[:, 1:])  # (x, N)
-        K_inv = casale_k_inv(V, casale_noise(gp))  # (N, N)
+        K_inv = casale_k_inv(V, noise)  # (N, N)
         mean = K_tt @ (K_inv @ latent_train)  # (x, L)
         if take_mean:
             return mean, None
