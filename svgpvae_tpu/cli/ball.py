@@ -94,7 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
 def run_experiment(args) -> dict:
     args.gp_block_impl = models.resolve_gp_block_impl(
         args.gp_block_impl, workload="ball",
-        titsias=args.elbo == "SVGPVAE_Titsias")
+        titsias=args.elbo == "SVGPVAE_Titsias",
+        data_parallel=bool(getattr(args, "data_parallel", 0)))
     batch, px, py, r = 35, 32, 32, 3.0
     tmax = args.tmax
     model_lt = 0.001 if args.elbo == "VAE" else args.modellt

@@ -312,7 +312,8 @@ def run_svgpvae(args) -> dict:
     # idempotent: main() already resolves, but tests/other callers may
     # drive run_svgpvae directly with the parser default "auto"
     args.gp_block_impl = models.resolve_gp_block_impl(
-        args.gp_block_impl, titsias=args.elbo == "SVGPVAE_Titsias")
+        args.gp_block_impl, titsias=args.elbo == "SVGPVAE_Titsias",
+        data_parallel=bool(args.data_parallel))
     if args.x64:
         jax.config.update("jax_enable_x64", True)
         if args.bf16:
@@ -1172,18 +1173,22 @@ def run_casale(args) -> dict:
     oid_j = jnp.asarray(object_ids)
 
     def gp_quantities(params, key):
+        # factored Taylor pieces (gp.taylor_terms): the (L, N, H) B
+        # tensor is never materialized on the training path — the
+        # forward builds the batch's B rows from the gathered pieces
         Z = models.encode_full_casale(vae, params["vae"], full_images, key,
                                       clip_qs=args.clip_qs)
         V = gpm.v_matrix(params["gp"], angles_j, oid_j, mask_j)
-        a, B, c = gpm.taylor_coeffs(params["gp"], Z, V)
-        return Z, V, a, B, c
+        a, ztKV, K_inv_V, c = gpm.taylor_terms(params["gp"], Z, V)
+        return Z, V, a, ztKV, K_inv_V, c
 
     def loss_casale(params, batch, key, geco, step):
         k1, k2 = jax.random.split(key)
-        _, V, a, B, c = gp_quantities(params, k1)
+        _, V, a, ztKV, K_inv_V, c = gp_quantities(params, k1)
         out = models.forward_pass_casale(vae, params["vae"], params["gp"],
-                                         batch, k2, a, B, c, V, args.beta,
-                                         clip_qs=args.clip_qs)
+                                         batch, k2, a, None, c, V,
+                                         args.beta, clip_qs=args.clip_qs,
+                                         ztKV=ztKV, K_inv_V=K_inv_V)
         return out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss,
                                  "gp_prior": out.gp_prior_term})
 
@@ -1205,10 +1210,11 @@ def run_casale(args) -> dict:
 
     def loss_casale_frozen(params, batch, key, geco, step, Z):
         V = gpm.v_matrix(params["gp"], angles_j, oid_j, mask_j)
-        a, B, c = gpm.taylor_coeffs(params["gp"], Z, V)
+        a, ztKV, K_inv_V, c = gpm.taylor_terms(params["gp"], Z, V)
         out = models.forward_pass_casale(vae, params["vae"], params["gp"],
-                                         batch, key, a, B, c, V, args.beta,
-                                         clip_qs=args.clip_qs)
+                                         batch, key, a, None, c, V,
+                                         args.beta, clip_qs=args.clip_qs,
+                                         ztKV=ztKV, K_inv_V=K_inv_V)
         return out.elbo, (geco, {"elbo": out.elbo, "recon": out.recon_loss,
                                  "gp_prior": out.gp_prior_term})
 
@@ -1382,7 +1388,8 @@ def run_casale(args) -> dict:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     args.gp_block_impl = models.resolve_gp_block_impl(
-        args.gp_block_impl, titsias=args.elbo == "SVGPVAE_Titsias")
+        args.gp_block_impl, titsias=args.elbo == "SVGPVAE_Titsias",
+        data_parallel=bool(args.data_parallel))
     if args.elbo.startswith("GPVAE_Casale"):
         # "GPVAE_Casale_batch" is accepted for reference-CLI parity; the
         # training pass is identical (the reference's batch variant only

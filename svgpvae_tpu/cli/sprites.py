@@ -161,12 +161,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["reference", "fused", "fused_pallas",
                             "fused_rejitter", "fused_rejitter_pallas", "auto"],
                    help="GP-block implementation for the Hensman training "
-                        "forward (see gp/fused.py); auto = reference on "
-                        "SPRITES on every backend (the fused closed-form "
-                        "KL diverges on this rank-deficient kernel — "
-                        "RESULTS.md round 3); fused_rejitter keeps the "
-                        "one-pass dedup but computes the two-pass "
-                        "rejittered KL (null-space-safe)")
+                        "forward (see gp/fused.py and the measured "
+                        "dispatch table models.GP_BLOCK_AUTO_TABLE); "
+                        "auto = fused_rejitter_pallas on TPU since r5 "
+                        "(one-pass dedup + the exact two-pass rejittered "
+                        "KL from the Pallas inverse stack — 1.15-1.25x "
+                        "step, 2-seed converged quality in-band, "
+                        "RESULTS.md r5 wave 12), reference off-TPU.  The "
+                        "identity-KL impls (fused/fused_pallas) stay OFF "
+                        "this workload's rank-deficient kernel unless "
+                        "forced (PARITY.md #10)")
     p.add_argument("--titsias_reference_ce", action="store_true",
                    help="restore the reference's encoder cross-entropy CE term for\n                   Titsias configs (PARITY.md #13: it rewards encoder-posterior\n                   divergence and measurably diverges; default uses the exact\n                   sampling-distribution entropy)")
     p.add_argument("--entropy_ce", action="store_true",
@@ -275,7 +279,8 @@ def ensure_dataset(args) -> None:
 def run_experiment(args) -> dict:
     args.gp_block_impl = models.resolve_gp_block_impl(
         args.gp_block_impl, workload="sprites",
-        titsias=args.elbo == "SVGPVAE_Titsias")
+        titsias=args.elbo == "SVGPVAE_Titsias",
+        data_parallel=bool(args.data_parallel))
     print(f"gp_block_impl resolved to: {args.gp_block_impl}")
     if args.s2d64 is None:
         # default ON for f32 TPU runs: exact rewrite, measured 1.09x step

@@ -27,6 +27,7 @@ from svgpvae_tpu.gp.casale import (  # noqa: F401
     mask_to_indices,
     v_matrix,
     taylor_coeffs,
+    taylor_terms,
     casale_k_inv,
     casale_noise,
 )

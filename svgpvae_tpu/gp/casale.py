@@ -225,6 +225,42 @@ def apply_k_inv(V: Array, alpha, rhs: Array) -> Array:
 
 
 @linalg.precise
+def taylor_terms(gp: CasaleGP, Z: Array, V: Array
+                 ) -> Tuple[Array, Array, Array, Array]:
+    """Factored first-order Taylor pieces (a, ztKV, K_inv_V, c) of the
+    GP prior term, WITHOUT materializing the (L, N, H) B tensor.
+
+    B_l = -K_inv z_l (z_l^T K_inv V) + K_inv V factorizes as a rank-1
+    update of the shared K_inv_V, and the training pass only ever reads
+    B at the batch's rows (forward_pass_Casale gathers by global index,
+    GPVAE_Casale_model.py:109-116), so the gather commutes with the
+    outer-product construction: B[l, batch] = -a[l, batch, None] *
+    ztKV[l, None, :] + K_inv_V[batch].  Returns a (L, N) = (K^{-1}Z)^T,
+    ztKV (L, H), K_inv_V (N, H), c (L,).  Exactly the reference math
+    (the (L, N, H) form is pinned against the dense naive loop in
+    tests/test_baseline_gps.py; the gathered identity in
+    tests/test_models.py), with O(L N H) less HBM traffic per training
+    step.  Every K^{-1} application is the factored Woodbury form (see
+    taylor_coeffs below for the derivation and citations).
+    """
+    N, H = V.shape
+    dtype = V.dtype
+    alpha = effective_alpha(casale_noise(gp))
+    inner = alpha * jnp.eye(H, dtype=dtype) + V.T @ V  # (H, H)
+    inner_chol = linalg.safe_cholesky(inner, 1e-7 * jnp.trace(inner) / H)
+
+    def kinv_apply(rhs):
+        return (rhs - V @ linalg.cho_solve(inner_chol, V.T @ rhs)) / alpha
+
+    KZ = kinv_apply(Z)  # (N, L)
+    K_inv_V = kinv_apply(V)  # (N, H)
+    a = KZ.T  # (L, N)
+    ztKV = Z.T @ K_inv_V  # (L, H)
+    tr_K_inv = (N - jnp.trace(linalg.cho_solve(inner_chol, V.T @ V))) / alpha
+    c = 0.5 * (-jnp.sum(KZ * KZ, axis=0) + tr_K_inv)  # (L,)
+    return a, ztKV, K_inv_V, c
+
+
 def taylor_coeffs(gp: CasaleGP, Z: Array, V: Array
                   ) -> Tuple[Array, Array, Array]:
     """First-order Taylor coefficients (a, B, c) of the GP prior term.
@@ -245,25 +281,13 @@ def taylor_coeffs(gp: CasaleGP, Z: Array, V: Array
     tests/test_baseline_gps.py::test_taylor_coeffs_vs_naive_loop), ~30x
     fewer FLOPs at the N=4050 reference scale where this runs once per
     training step (MNIST_experiment.py:1020-1023 semantics).
+
+    The training path should prefer `taylor_terms` + the gathered B
+    construction in forward_pass_casale (B=None), which never forms the
+    (L, N, H) tensor at all; this function materializes it for
+    API/parity consumers.
     """
-    N, H = V.shape
-    dtype = V.dtype
-    alpha = effective_alpha(casale_noise(gp))
-    inner = alpha * jnp.eye(H, dtype=dtype) + V.T @ V  # (H, H)
-    inner_chol = linalg.safe_cholesky(inner, 1e-7 * jnp.trace(inner) / H)
-
-    def kinv_apply(rhs):
-        return (rhs - V @ linalg.cho_solve(inner_chol, V.T @ rhs)) / alpha
-
-    KZ = kinv_apply(Z)  # (N, L)
-    K_inv_V = kinv_apply(V)  # (N, H)
-
-    a = KZ.T  # (L, N)
+    a, ztKV, K_inv_V, c = taylor_terms(gp, Z, V)
     # B_l = -K_inv z_l z_l^T K_inv_V + K_inv_V
-    ztKV = Z.T @ K_inv_V  # (L, H)
-    B = -KZ.T[:, :, None] * ztKV[:, None, :] + K_inv_V[None]  # (L, N, H)
-
-    # c_l = 0.5 * ( -z_l^T K_inv K_inv z_l + tr(K_inv) )
-    tr_K_inv = (N - jnp.trace(linalg.cho_solve(inner_chol, V.T @ V))) / alpha
-    c = 0.5 * (-jnp.sum(KZ * KZ, axis=0) + tr_K_inv)  # (L,)
+    B = -a[:, :, None] * ztKV[:, None, :] + K_inv_V[None]  # (L, N, H)
     return a, B, c

@@ -15,8 +15,8 @@ import jax.numpy as jnp
 from jax import Array
 
 from svgpvae_tpu import linalg
-from svgpvae_tpu.gp.casale import (CasaleGP, casale_kernel_matrix,
-                                   casale_k_inv, casale_noise,
+from svgpvae_tpu.gp.casale import (CasaleGP, apply_k_inv,
+                                   casale_kernel_matrix, casale_noise,
                                    effective_alpha)
 
 QVAR_CLIP = (1e-3, 100.0)  # reference: GPVAE_Casale_model.py:87, 124
@@ -44,13 +44,21 @@ def encode_full_casale(vae, vae_params, images: Array, key,
 
 
 def forward_pass_casale(vae, vae_params, gp: CasaleGP, batch, key,
-                        a: Array, B: Array, c: Array, V: Array, beta,
-                        clip_qs: bool = False) -> CasaleOutputs:
+                        a: Array, B, c: Array, V: Array, beta,
+                        clip_qs: bool = False, ztKV=None,
+                        K_inv_V=None) -> CasaleOutputs:
     """Training pass using first-order Taylor coefficients (reference:
     forward_pass_Casale, GPVAE_Casale_model.py:96-155).
 
     a (L, N), B (L, N, H), c (L,), V (N, H); the batch's aux rows carry the
     global train index in column 0 (sorted-train layout).
+
+    B=None takes the factored path: pass ztKV (L, H) and K_inv_V (N, H)
+    from gp.taylor_terms instead, and the batch's B rows are built from
+    the gathered pieces (B[l, batch] = -a[l, batch, None] * ztKV[l] +
+    K_inv_V[batch]) — algebraically identical (the gather commutes with
+    the rank-1 construction; pinned in tests/test_models.py) with no
+    (L, N, H) tensor ever materialized.
     """
     images, aux_data = batch
     batch_idx = aux_data[:, 0].astype(jnp.int32)
@@ -68,8 +76,13 @@ def forward_pass_casale(vae, vae_params, gp: CasaleGP, batch, key,
 
     # gather per-batch Taylor pieces from the full-train coefficients
     a_batch = jnp.take(a, batch_idx, axis=1)        # (L, b)
-    B_batch = jnp.take(B, batch_idx, axis=1)        # (L, b, H)
     V_batch = jnp.take(V, batch_idx, axis=0)        # (b, H)
+    if B is None:
+        kiv_batch = jnp.take(K_inv_V, batch_idx, axis=0)   # (b, H)
+        B_batch = (-a_batch[:, :, None] * ztKV[:, None, :]
+                   + kiv_batch[None])               # (L, b, H)
+    else:
+        B_batch = jnp.take(B, batch_idx, axis=1)    # (L, b, H)
 
     gp_prior_term = (jnp.sum(latent * a_batch.T)
                      + jnp.sum(B_batch * V_batch[None])
@@ -115,12 +128,16 @@ def predict_cgen_casale(vae, vae_params, gp: CasaleGP, test_images: Array,
     @linalg.precise
     def posterior_mean_var():
         K_tt = casale_kernel_matrix(gp, test_aux, train_aux[:, 1:])  # (x, N)
-        K_inv = casale_k_inv(V, noise)  # (N, N)
-        mean = K_tt @ (K_inv @ latent_train)  # (x, L)
+        # factored Woodbury application (gp/casale.py apply_k_inv) — the
+        # reference materializes the (N, N) inverse
+        # (GPVAE_Casale_model.py:330-332, :173); same math, O(N H^2 +
+        # N H x) instead of O(N^2 (N + x)), pinned in
+        # tests/test_baseline_gps.py
+        mean = K_tt @ apply_k_inv(V, noise, latent_train)  # (x, L)
         if take_mean:
             return mean, None
         K_xx = casale_kernel_matrix(gp, test_aux, test_aux)
-        cov = K_xx - K_tt @ (K_inv @ K_tt.T)
+        cov = K_xx - K_tt @ apply_k_inv(V, noise, K_tt.T)
         return mean, jnp.diag(cov)  # var same across channels (ref :193)
 
     mean, var = posterior_mean_var()

@@ -76,16 +76,30 @@ GP_BLOCK_AUTO_TABLE = {
 
 
 def resolve_gp_block_impl(impl: str, workload: str = "mnist",
-                          titsias: bool = False) -> str:
+                          titsias: bool = False,
+                          data_parallel: bool = False) -> str:
     """Resolve --gp_block_impl 'auto' via the measured dispatch table
     GP_BLOCK_AUTO_TABLE (workload x bound x backend); explicit impls pass
-    through untouched.  Evidence one-liners live on each table cell."""
+    through untouched.  Evidence one-liners live on each table cell.
+
+    `data_parallel=True` downgrades an auto-resolved Pallas variant to
+    its pure-XLA sibling (fused_pallas -> fused, fused_rejitter_pallas
+    -> fused_rejitter): GSPMD partitioning of the Mosaic custom call
+    under a sharded batch is not certifiable in this environment (the
+    CPU-mesh equivalence tests resolve to XLA impls, and only one real
+    chip is available), while the XLA siblings are ordinary HLO the SPMD
+    partitioner handles like the rest of the step.  An EXPLICIT Pallas
+    flag is still honored — the user asked for it."""
     if impl != "auto":
         return impl
     import jax
     backend = "tpu" if jax.default_backend() == "tpu" else "other"
     bound = "titsias" if titsias else "hensman"
-    return GP_BLOCK_AUTO_TABLE[(workload, bound, backend)][0]
+    resolved = GP_BLOCK_AUTO_TABLE[(workload, bound, backend)][0]
+    if data_parallel and resolved.endswith("_pallas"):
+        # fused_pallas -> fused; fused_rejitter_pallas -> fused_rejitter
+        resolved = resolved[:-len("_pallas")]
+    return resolved
 
 
 class SVGPVAEOutputs(NamedTuple):

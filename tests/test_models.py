@@ -81,6 +81,22 @@ def test_resolve_gp_block_impl_table():
             assert models.resolve_gp_block_impl("auto", w, titsias=titsias) \
                 == expected[(w, bound, backend)]
 
+    # data_parallel downgrades auto-resolved Pallas variants to their
+    # pure-XLA siblings (GSPMD partitioning of the Mosaic custom call is
+    # uncertifiable on one chip); explicit Pallas flags pass through
+    for w in workloads:
+        for titsias in (False, True):
+            bound = "titsias" if titsias else "hensman"
+            got = models.resolve_gp_block_impl("auto", w, titsias=titsias,
+                                               data_parallel=True)
+            want = expected[(w, bound, backend)]
+            if want.endswith("_pallas"):
+                want = want[:-len("_pallas")]
+            assert got == want, (w, bound, got, want)
+    assert models.resolve_gp_block_impl(
+        "fused_rejitter_pallas", "sprites",
+        data_parallel=True) == "fused_rejitter_pallas"
+
 
 def test_svgpvae_forward_fused_rejitter_matches_reference():
     """Model-level wiring check: forward_pass_svgpvae with
@@ -448,6 +464,40 @@ def test_casale_forward_and_predict():
                                      a, B, c, V, beta=0.001)
     assert np.isfinite(out.elbo)
     assert out.recon_images.shape == (b, 28, 28, 1)
+
+    # factored path (B=None + taylor_terms pieces): the gathered-B
+    # identity must reproduce the materialized-B objective bit-for-bit
+    # up to float reassociation, in values AND gradients (the driver
+    # trains on this path since r5 — gp/casale.py taylor_terms)
+    a2, ztKV, K_inv_V, c2 = gpm.taylor_terms(gp, Z, V)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c), rtol=1e-6)
+    out_t = models.forward_pass_casale(vae, vae_params, gp, batch, KEY,
+                                       a2, None, c2, V, beta=0.001,
+                                       ztKV=ztKV, K_inv_V=K_inv_V)
+    np.testing.assert_allclose(float(out_t.elbo), float(out.elbo),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(out_t.gp_prior_term),
+                               float(out.gp_prior_term), rtol=1e-5)
+
+    def loss_dense(g):
+        aa, BB, cc = gpm.taylor_coeffs(g, Z, V)
+        return models.forward_pass_casale(vae, vae_params, g, batch, KEY,
+                                          aa, BB, cc, V, beta=0.001).elbo
+
+    def loss_terms(g):
+        aa, zt, kiv, cc = gpm.taylor_terms(g, Z, V)
+        return models.forward_pass_casale(vae, vae_params, g, batch, KEY,
+                                          aa, None, cc, V, beta=0.001,
+                                          ztKV=zt, K_inv_V=kiv).elbo
+
+    g_d = jax.grad(loss_dense)(gp)
+    g_t = jax.grad(loss_terms)(gp)
+    for ld, lt in zip(jax.tree_util.tree_leaves(g_d),
+                      jax.tree_util.tree_leaves(g_t)):
+        ld, lt = np.asarray(ld), np.asarray(lt)
+        scale = max(float(np.abs(ld).max()), 1e-6)
+        np.testing.assert_allclose(lt / scale, ld / scale, atol=1e-5)
 
     test_aux = np.hstack([ids[:3, None].astype(float), angs[:3, None]])
     recon, loss = models.predict_cgen_casale(
