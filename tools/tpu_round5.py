@@ -110,10 +110,18 @@ def wave2():
 
 
 def wave3():
+    # NOTE: the planned sp_basin gate is moot under the current binary —
+    # wave 1 showed 3/3 seeds in the good basin (no plateau instance to
+    # rescue); the detector ships with a forced-trigger e2e test instead
+    # (tests/test_e2e_sprites.py::test_basin_retry_restarts_main_loop).
+    py = sys.executable
     return [
-        # basin detector/rescue (item 2): see cli.sprites --basin_retry
-        sprites_job("sp_basin_s0", ["--basin_retry", "2"], epochs=360,
-                    timeout=9000),
+        # terms-binary confirmation (the wave-2 Casale arms ran from the
+        # live tree while the taylor_terms/gathered-B commit landed):
+        # re-bench + a K=1 record-config rerun under the settled binary
+        ("bench_casale_terms", [py, os.path.join(ROOT, "bench.py")], 1500,
+         {"BENCH_ONLY": "casale_train"}),
+        casale_job("cas_terms_1400", []),
     ]
 
 
