@@ -750,14 +750,18 @@ def bench_casale(peak):
                    n_batches, b, -1), jnp.float32))
 
     def loss_fn(params, batch, key, geco, step):
+        # the driver's r5 path: factored Taylor pieces + gathered-B
+        # forward (gp.taylor_terms; PARITY #14) — no (N,N) inverse, no
+        # (L,N,H) B tensor
         k1, k2 = jax.random.split(key)
         Z = models.encode_full_casale(vae, params["vae"], full_images, k1,
                                       clip_qs=True)
         V = gpm.v_matrix(params["gp"], angles_j, oid_j, mask_j)
-        a, B, c = gpm.taylor_coeffs(params["gp"], Z, V)
+        a, ztKV, K_inv_V, c = gpm.taylor_terms(params["gp"], Z, V)
         out = models.forward_pass_casale(vae, params["vae"], params["gp"],
-                                         batch, k2, a, B, c, V, 0.001,
-                                         clip_qs=True)
+                                         batch, k2, a, None, c, V, 0.001,
+                                         clip_qs=True, ztKV=ztKV,
+                                         K_inv_V=K_inv_V)
         return out.elbo, (geco, {"recon": out.recon_loss})
 
     tx = train.make_optimizer(0.001)
