@@ -52,6 +52,17 @@ def sprites_job(expid, extra, epochs=30, timeout=2400):
     return (expid, cmd, timeout)
 
 
+def sprites_titsias_job(expid, extra, epochs=30, timeout=2400):
+    """Same record config as sprites_job but the Titsias bound (no GECO —
+    the bound is maximized directly, matching the wave-22 record runs)."""
+    expid_, cmd, t = sprites_job(expid, extra, epochs=epochs,
+                                 timeout=timeout)
+    cmd = [a for a in cmd if a != "--GECO"]
+    i = cmd.index("SVGPVAE_Hensman")
+    cmd[i] = "SVGPVAE_Titsias"
+    return (expid_, cmd, t)
+
+
 def casale_job(expid, extra, regime=("VAE-100", "GP-100", "joint-1400"),
                timeout=5400):
     py = sys.executable
@@ -122,6 +133,15 @@ def wave3():
         ("bench_casale_terms", [py, os.path.join(ROOT, "bench.py")], 1500,
          {"BENCH_ONLY": "casale_train"}),
         casale_job("cas_terms_1400", []),
+        # Titsias stable-family refresh under the CURRENT binary + the
+        # flipped defaults (s2d64; gp impl stays 'fused' per the
+        # dispatch table — frp is Hensman-only): the 0.01368/0.01398
+        # record rows date from the wave-22 binary at the 9.6-10 ms
+        # two-pass step; these re-certify the stable family at the new
+        # step speed, 2 seeds, one binary
+        sprites_titsias_job("sp_tit5_s0", [], epochs=360, timeout=7200),
+        sprites_titsias_job("sp_tit5_s1", ["--seed", "1"], epochs=360,
+                            timeout=7200),
     ]
 
 
