@@ -14,7 +14,13 @@ Wave 2 — Casale probes (VERDICT items 5/6): --casale_taylor_every
   record config, and the predictive-side alpha arm (cgen-time smoother
   noise pinned, training untouched).
 
-Wave 3 — SPRITES Hensman basin detector/rescue gates (VERDICT item 2).
+Wave 3 — Casale terms-binary confirmation + Titsias stable-family
+  refresh under the r5 binary (the planned basin-rescue gate was moot:
+  wave 1 drew 3/3 good basins; the detector ships with a forced-trigger
+  e2e test instead).  Results: RESULTS.md r5 wave 3.
+
+Multi-seed record bands are produced by tools/record_gate.py (the
+wave-1 by-hand procedure as code).
 
 Usage: python tools/tpu_round5.py --wave N [--only NAME,..] [--skip ..]
 Logs: /tmp/r05_logs/<name>.log
