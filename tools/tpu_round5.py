@@ -151,6 +151,27 @@ def wave3():
     ]
 
 
+def wave4():
+    """Re-measure the sprites-Titsias Pallas carve-out under the r5
+    binary.  The dispatch cell keeps the Pallas inverse off
+    sprites+Titsias on an r3 measurement (p_m corrupted to ~1.7e-2)
+    that predates the current ridge policies — while Hensman's
+    fused_rejitter_pallas now runs the SAME Pallas inverse on the SAME
+    rank-deficient kernel in-band.  A CPU f32 probe on the
+    rank-deficient fixture shows pallas==chol at f32 noise (6.4e-6 vs
+    4.3e-6 normalized).  Gate: 30-ep A/B (step p50 + cgen), then a
+    360-ep converged arm if clean."""
+    return [
+        sprites_titsias_job("sp_titfp_30",
+                            ["--gp_block_impl", "fused_pallas"],
+                            epochs=30, timeout=2400),
+        sprites_titsias_job("sp_titab_30", [], epochs=30, timeout=2400),
+        sprites_titsias_job("sp_titfp_360",
+                            ["--gp_block_impl", "fused_pallas"],
+                            epochs=360, timeout=7200),
+    ]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--wave", type=int, required=True)
@@ -158,7 +179,7 @@ def main():
     p.add_argument("--skip", type=str, default="")
     args = p.parse_args()
 
-    jobs = {1: wave1, 2: wave2, 3: wave3}[args.wave]()
+    jobs = {1: wave1, 2: wave2, 3: wave3, 4: wave4}[args.wave]()
     only = set(args.only.split(",")) if args.only else None
     skip = set(args.skip.split(",")) if args.skip else set()
     for job in jobs:
