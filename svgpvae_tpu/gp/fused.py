@@ -221,8 +221,12 @@ def gp_block_titsias(gp, aux: Array, y: Array, noise: Array,
     lambda_max(Q + D)/min(noise) is unbounded as the encoder sharpens,
     while Sigma1's Cholesky is ridge-protected like Sigma's.
 
-    inverse_impl="pallas" routes the whole (2L+1, m, m) stack through
-    the Pallas inverse megakernel.
+    inverse_impl="pallas" routes the factorizations through the Pallas
+    inverse megakernel as TWO stacks ([Kmm_j; Sigma_1..L] and
+    [Sigma1_1..L]) — the megakernel holds its whole augmented stack in
+    VMEM, and the single (2L+1, m, m) stack overflows it at SPRITES
+    scale (L=64, m=72) while each (L+1)-sized launch matches the
+    Hensman block's proven footprint.
 
     aux: (b, D); y/noise: (b, L).  Returns (p_m (b, L), p_v (b, L),
     l2_terms (L,), kl_terms == zeros (L,), mu_hat (L, m)).  Equivalent
@@ -258,22 +262,29 @@ def gp_block_titsias(gp, aux: Array, y: Array, noise: Array,
         sig_jitter = sig_jitter + cfg.sigma_rel_jitter * diag_scale
         diag_scale1 = jnp.max(jnp.diagonal(Sigma1, axis1=-2, axis2=-1))
         sig1_jitter = cfg.sigma_rel_jitter * diag_scale1
-    M = jnp.concatenate([
-        Kmm_j[None],
-        linalg.add_jitter(Sigma, sig_jitter),
-        linalg.add_jitter(Sigma1, sig1_jitter)], axis=0)  # (2L+1, m, m)
-
     if inverse_impl == "pallas":
+        # Two kernel launches instead of one (2L+1)-stack: the whole
+        # augmented stack lives in VMEM (ops/chol_inverse.py), and at
+        # SPRITES scale (L=64, m=72) the single 129-matrix stack
+        # overflows it (measured: vmem OOM at compile, r5 wave 4) while
+        # the Hensman-sized (L+1)=65 stack is the proven footprint.
         from svgpvae_tpu.ops.chol_inverse import chol_inverse
-        Minv, logdets = chol_inverse(M)
-        Kmm_inv, Sigma_inv = Minv[0], Minv[1:L + 1]
-        Sigma1_inv = Minv[L + 1:]
-        logdet_K, logdet_S1 = logdets[0], logdets[L + 1:]
+        Minv, logdets = chol_inverse(jnp.concatenate([
+            Kmm_j[None],
+            linalg.add_jitter(Sigma, sig_jitter)], axis=0))
+        Sigma1_inv, logdet_S1 = chol_inverse(
+            linalg.add_jitter(Sigma1, sig1_jitter))
+        Kmm_inv, Sigma_inv = Minv[0], Minv[1:]
+        logdet_K = logdets[0]
         sir = jnp.einsum("lmp,lp->lm", Sigma_inv, r)            # (L, m)
         W = Kmm_inv @ Knm.T                                     # (m, b)
         SigInv_Kmn = jnp.einsum("lmp,bp->lmb", Sigma_inv, Knm)  # (L, m, b)
         s1ir = jnp.einsum("lmp,lp->lm", Sigma1_inv, r_b)        # (L, m)
     else:
+        M = jnp.concatenate([
+            Kmm_j[None],
+            linalg.add_jitter(Sigma, sig_jitter),
+            linalg.add_jitter(Sigma1, sig1_jitter)], axis=0)  # (2L+1,m,m)
         chol = jnp.linalg.cholesky(M)
         Kmm_chol, Sigma_chol = chol[0], chol[1:L + 1]
         Sigma1_chol = chol[L + 1:]
