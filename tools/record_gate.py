@@ -16,6 +16,7 @@ Configs mirror the RECORDS rows (RESULTS.md):
   sprites_titsias  Titsias(entropy) 360 ep, the stable family
   mnist_hensman    Hensman+GECO kappa^2=0.016, 32k ep, --epoch_chunk 50
   mnist_titsias    Titsias(entropy) 32k ep, --epoch_chunk 50
+  mnist36          multi-digit (13679) Hensman+GECO, dense evals
   casale           3-way VAE-100 GP-100 joint-1400
 
 Logs: /tmp/record_gate_logs/<config>_s<seed>.log
@@ -39,6 +40,21 @@ from tpu_round5 import sprites_job, sprites_titsias_job, casale_job  # noqa: E40
 tpu_round3.LOGDIR = "/tmp/record_gate_logs"
 PY = sys.executable
 MNIST = "/tmp/mnist_data/"
+
+
+def mnist36_record_job(expid, extra, epochs=200, timeout=2400):
+    """The multi-digit record config (r4 wave 9 dense-eval arms): best
+    cgen peaks at epoch ~24-34, so the gate keeps the per-5-epoch
+    evals."""
+    cmd = [PY, "-m", "svgpvae_tpu.cli.mnist", "--elbo",
+           "SVGPVAE_Hensman", "--GECO", "--PCA", "--ip_joint",
+           "--GP_joint", "--ov_joint", "--clip_qs",
+           "--dataset", "13679", "--synthetic_digits",
+           "--mnist_data_path", "/tmp/mnist36_data/",
+           "--kappa_squared", "0.016", "--epoch_chunk", "5",
+           "--opt_regime", f"joint-{epochs}", "--eval_every", "5",
+           "--base_dir", "/tmp/mnist_tpu", "--expid", expid, *extra]
+    return (expid, cmd, timeout)
 
 
 def mnist_record_job(expid, extra, titsias=False, epochs=32000,
@@ -65,6 +81,8 @@ CONFIGS = {
         expid, ["--seed", str(seed)]),
     "mnist_titsias": lambda expid, seed: mnist_record_job(
         expid, ["--seed", str(seed)], titsias=True),
+    "mnist36": lambda expid, seed: mnist36_record_job(
+        expid, ["--seed", str(seed)]),
     "casale": lambda expid, seed: casale_job(
         expid, ["--seed", str(seed)]),
 }
