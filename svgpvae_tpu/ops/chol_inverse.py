@@ -54,6 +54,69 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
+def _gj_blocked_kernel(aug_ref, inv_ref, ld_ref, *, m: int, nb: int,
+                       update: str):
+    """Blocked Gauss-Jordan on the augmented stack (r5 wave 4).
+
+    The scalar kernel below runs m sequential iterations, each making
+    ~5 full-(B, m, W) masked VPU passes (row/pivot/column extraction +
+    update + select) — ~1.7 GB of VMEM traffic at SPRITES scale, 0.55 ms
+    per launch (tools/probe_titsias_pallas2.py).  This kernel eliminates
+    nb=8 pivots per macro-step: the scalar recurrence runs only on the
+    (B, nb, W) panel (32x less data), and the full-stack work collapses
+    to one rank-nb update per block —
+        X <- X - C @ P,  C = X[:, :, block cols] (panel rows zeroed)
+    evaluated either as one batched MXU dot_general (update="dot") or as
+    nb unrolled VPU broadcast accumulations (update="bcast", fallback if
+    Mosaic rejects the batched dot).  Full-stack passes drop from ~5m to
+    ~4(m/nb); pivots and logdet are bit-identical to the scalar kernel's
+    (the panel recurrence is the same masked form).  Requires m % nb == 0
+    (the caller pads m to a multiple of nb with identity rows/cols, which
+    leave logdet and the leading (m, m) inverse block unchanged).
+    """
+    X = aug_ref[...]
+    B, rows, W = X.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    sub_nb = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+    sub_m = jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1), 1)
+    ld = jnp.zeros((B,), X.dtype)
+
+    for kb in range(m // nb):
+        lo = kb * nb
+        panel_mask = (sub_m >= lo) & (sub_m < lo + nb)
+        P = jax.lax.slice(X, (0, lo, 0), (B, lo + nb, W))  # (B, nb, W)
+        # scalar GJ restricted to the panel: reduce its diagonal block
+        # to I (row ops within the panel only)
+        for j in range(nb):
+            c = lo + j
+            is_c = lane == c                               # constant mask
+            row_j = jnp.sum(jnp.where(sub_nb == j, P, 0.0), axis=1,
+                            keepdims=True)                 # (B, 1, W)
+            p = jnp.sum(jnp.where(is_c, row_j, 0.0), axis=2,
+                        keepdims=True)                     # (B, 1, 1)
+            row_j = row_j / p
+            col_j = jnp.sum(jnp.where(is_c, P, 0.0), axis=2,
+                            keepdims=True)                 # (B, nb, 1)
+            P = jnp.where(sub_nb == j, row_j, P - col_j * row_j)
+            ld = ld + jnp.log(p[:, 0, 0])
+        # one rank-nb full-stack update: X -= C @ P, panel rows excluded
+        C = jax.lax.slice(X, (0, 0, lo), (B, rows, lo + nb))  # (B, m, nb)
+        C = jnp.where(panel_mask, 0.0, C)
+        if update == "dot":
+            U = jax.lax.dot_general(
+                C, P, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=X.dtype)
+        else:
+            U = C[:, :, 0:1] * P[:, 0:1, :]
+            for j in range(1, nb):
+                U = U + C[:, :, j:j + 1] * P[:, j:j + 1, :]
+        P_pad = jnp.pad(P, ((0, 0), (lo, rows - lo - nb), (0, 0)))
+        X = jnp.where(panel_mask, P_pad, X - U)
+
+    inv_ref[...] = X
+    ld_ref[...] = jnp.broadcast_to(ld[:, None], ld_ref.shape)
+
+
 def _gj_kernel(aug_ref, inv_ref, ld_ref, *, m: int):
     """Gauss-Jordan on the augmented stack; aug (B, m, W), W >= 2m padded
     to lanes.  Writes the full reduced stack to inv_ref (caller slices
@@ -87,35 +150,57 @@ def _gj_kernel(aug_ref, inv_ref, ld_ref, *, m: int):
     ld_ref[...] = jnp.broadcast_to(ld[:, None], ld_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def chol_inverse_pallas(M: Array, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block", "update"))
+def chol_inverse_pallas(M: Array, interpret: bool = False,
+                        block: int = 8, update: str = "dot"):
     """Pallas path: M (B, m, m) jittered PD -> (Minv (B, m, m), logdet (B,)).
+
+    block > 1 selects the blocked Gauss-Jordan kernel (the default;
+    `update` picks its full-stack update strategy, "dot" = batched MXU
+    dot_general, "bcast" = unrolled VPU broadcasts); block=1 keeps the
+    original scalar kernel.  m is padded to a multiple of `block` with
+    identity rows/cols (logdet- and inverse-neutral).
 
     The whole augmented stack must fit VMEM (B * m * pad(2m) * 4 bytes;
     north-star: 17*32*256*4 = 557 kB)."""
     B, m, _ = M.shape
-    W = _round_up(2 * m, 128)
+    m_pad = _round_up(m, block) if block > 1 else m
+    W = _round_up(2 * m_pad, 128)
     B_pad = _round_up(B, 8)
 
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), (B, m, m))
-    aug = jnp.concatenate([M, eye], axis=-1)            # (B, m, 2m)
-    aug = jnp.pad(aug, ((0, B_pad - B), (0, 0), (0, W - 2 * m)))
+    eye = jnp.broadcast_to(jnp.eye(m_pad, dtype=M.dtype), (B, m_pad, m_pad))
+    M_ext = jnp.pad(M, ((0, 0), (0, m_pad - m), (0, m_pad - m)))
+    if m_pad != m:
+        # identity-extend the padded rows/cols: pivots there are 1
+        # (logdet += 0) and the leading (m, m) inverse block is exact
+        M_ext = M_ext + jnp.diag(jnp.pad(
+            jnp.zeros((m,), M.dtype), (0, m_pad - m),
+            constant_values=1))[None]
+    aug = jnp.concatenate([M_ext, eye], axis=-1)        # (B, m_pad, 2m_pad)
+    aug = jnp.pad(aug, ((0, B_pad - B), (0, 0), (0, W - 2 * m_pad)))
     if B_pad != B:
         # padded batches run GJ on [0 | I]-ish junk; make them identity
         # stacks so no log(<=0) NaNs leak out of the kernel
-        pad_eye = jnp.pad(jnp.eye(m, dtype=M.dtype), ((0, 0), (0, W - m)))
+        pad_eye = jnp.pad(jnp.eye(m_pad, dtype=M.dtype),
+                          ((0, 0), (0, W - m_pad)))
         aug = aug.at[B:].set(pad_eye[None])
 
+    if block > 1:
+        kernel = functools.partial(_gj_blocked_kernel, m=m_pad, nb=block,
+                                   update=update)
+    else:
+        kernel = functools.partial(_gj_kernel, m=m_pad)
     out, ld = pl.pallas_call(
-        functools.partial(_gj_kernel, m=m),
-        out_shape=(jax.ShapeDtypeStruct((B_pad, m, W), M.dtype),
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B_pad, m_pad, W), M.dtype),
                    jax.ShapeDtypeStruct((B_pad, 128), M.dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(aug)
-    return out[:B, :, m:2 * m], ld[:B, 0]
+    return out[:B, :m, m_pad:m_pad + m], ld[:B, 0]
 
 
 @_precise
@@ -136,6 +221,18 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _kernel_params():
+    """(block, update) for the dispatched Pallas kernel.
+
+    SVGPVAE_GJ_BLOCK=1 restores the scalar kernel; SVGPVAE_GJ_UPDATE
+    selects the blocked full-stack update ("dot" batched MXU dot_general
+    / "bcast" unrolled VPU broadcasts).  Defaults measured r5 wave 4
+    (tools/probe_titsias_pallas2.py follow-up)."""
+    block = int(os.environ.get("SVGPVAE_GJ_BLOCK", "8"))
+    update = os.environ.get("SVGPVAE_GJ_UPDATE", "bcast")
+    return block, update
+
+
 @jax.custom_vjp
 def chol_inverse(M: Array):
     """Batched (Minv, logdet) of jittered PD matrices with a two-matmul VJP.
@@ -145,8 +242,10 @@ def chol_inverse(M: Array):
     TPU runs in interpret mode for tests).
     """
     if _use_pallas():
+        block, update = _kernel_params()
         return chol_inverse_pallas(M,
-                                   interpret=jax.default_backend() != "tpu")
+                                   interpret=jax.default_backend() != "tpu",
+                                   block=block, update=update)
     return chol_inverse_ref(M)
 
 

@@ -53,6 +53,36 @@ def test_chol_inverse_nonsquare_tile_batch():
     np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_r), rtol=1e-4)
 
 
+@pytest.mark.parametrize("update", ["dot", "bcast"])
+@pytest.mark.parametrize("B,m", [(17, 32), (5, 72), (3, 30), (6, 9)])
+def test_chol_inverse_blocked_kernel_matches_scalar(B, m, update):
+    """Blocked GJ (r5 wave 4) == scalar kernel == f64, incl. m padded to
+    a multiple of the block (m=30 -> 32, m=9 -> 16) and both full-stack
+    update strategies.  Own RNG so the fixture is order-independent
+    (ADVICE r4: module-RNG fixtures drift with suite order)."""
+    R = np.random.RandomState(100 + B + m)
+    A = np.empty((B, m, m))
+    for i in range(B):
+        Q, _ = np.linalg.qr(R.randn(m, m))
+        A[i] = (Q * np.logspace(0, 3, m)) @ Q.T
+    M = jnp.asarray(A, jnp.float32)
+    inv64 = np.linalg.inv(np.asarray(M, np.float64))
+    _, ld64 = np.linalg.slogdet(np.asarray(M, np.float64))
+
+    inv, ld = chol_inverse_pallas(M, interpret=True, block=8,
+                                  update=update)
+    scale = np.abs(inv64).max()
+    np.testing.assert_allclose(np.asarray(inv) / scale, inv64 / scale,
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ld), ld64, rtol=1e-4)
+
+    inv_s, ld_s = chol_inverse_pallas(M, interpret=True, block=1)
+    np.testing.assert_allclose(np.asarray(inv) / scale,
+                               np.asarray(inv_s) / scale, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_s),
+                               rtol=1e-5)
+
+
 def test_chol_inverse_custom_vjp_matches_autodiff():
     """The two-matmul custom VJP == autodiff through the XLA reference.
 
