@@ -74,17 +74,22 @@ def _gj_blocked_kernel(aug_ref, inv_ref, ld_ref, *, m: int, nb: int,
     (the caller pads m to a multiple of nb with identity rows/cols, which
     leave logdet and the leading (m, m) inverse block unchanged).
     """
-    X = aug_ref[...]
-    B, rows, W = X.shape
+    B, rows, W = aug_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     sub_nb = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
     sub_m = jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1), 1)
-    ld = jnp.zeros((B,), X.dtype)
+    ld = jnp.zeros((B,), aug_ref.dtype)
+
+    # work in inv_ref: the per-block ref stores are memory barriers, so
+    # the compiler reuses the full-stack temporaries across blocks —
+    # a pure-SSA unroll keeps every block's buffers live and blows the
+    # 16 MB scoped-vmem stack at SPRITES scale (93 MB, r5 wave 4)
+    inv_ref[...] = aug_ref[...]
 
     for kb in range(m // nb):
         lo = kb * nb
         panel_mask = (sub_m >= lo) & (sub_m < lo + nb)
-        P = jax.lax.slice(X, (0, lo, 0), (B, lo + nb, W))  # (B, nb, W)
+        P = inv_ref[:, lo:lo + nb, :]                      # (B, nb, W)
         # scalar GJ restricted to the panel: reduce its diagonal block
         # to I (row ops within the panel only)
         for j in range(nb):
@@ -99,21 +104,31 @@ def _gj_blocked_kernel(aug_ref, inv_ref, ld_ref, *, m: int, nb: int,
                             keepdims=True)                 # (B, nb, 1)
             P = jnp.where(sub_nb == j, row_j, P - col_j * row_j)
             ld = ld + jnp.log(p[:, 0, 0])
+        inv_ref[:, lo:lo + nb, :] = P                      # aligned store
         # one rank-nb full-stack update: X -= C @ P, panel rows excluded
-        C = jax.lax.slice(X, (0, 0, lo), (B, rows, lo + nb))  # (B, m, nb)
-        C = jnp.where(panel_mask, 0.0, C)
-        if update == "dot":
-            U = jax.lax.dot_general(
-                C, P, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=X.dtype)
-        else:
-            U = C[:, :, 0:1] * P[:, 0:1, :]
-            for j in range(1, nb):
-                U = U + C[:, :, j:j + 1] * P[:, j:j + 1, :]
-        P_pad = jnp.pad(P, ((0, 0), (lo, rows - lo - nb), (0, 0)))
-        X = jnp.where(panel_mask, P_pad, X - U)
+        # (C is zeroed there, so U's panel rows are zero).  Chunked over
+        # the batch to bound the accumulation chain's live buffers (the
+        # kernel raises the default 16 MB scoped-vmem limit, but an
+        # unchunked whole-stack chain still stacks ~6 full-size
+        # temporaries = 33 MB at SPRITES scale, r5 wave 4).
+        bc = max(8, _round_up((1 << 20) // (rows * W * 4), 8))
+        for b0 in range(0, B, bc):
+            b1 = min(b0 + bc, B)
+            Xc = inv_ref[b0:b1]
+            C = jax.lax.slice(Xc, (0, 0, lo),
+                              (b1 - b0, rows, lo + nb))    # (bc, m, nb)
+            C = jnp.where(panel_mask, 0.0, C)
+            Pc = jax.lax.slice(P, (b0, 0, 0), (b1, nb, W))
+            if update == "dot":
+                U = jax.lax.dot_general(
+                    C, Pc, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=Xc.dtype)
+            else:
+                U = C[:, :, 0:1] * Pc[:, 0:1, :]
+                for j in range(1, nb):
+                    U = U + C[:, :, j:j + 1] * Pc[:, j:j + 1, :]
+            inv_ref[b0:b1] = Xc - U
 
-    inv_ref[...] = X
     ld_ref[...] = jnp.broadcast_to(ld[:, None], ld_ref.shape)
 
 
@@ -191,6 +206,13 @@ def chol_inverse_pallas(M: Array, interpret: bool = False,
                                    update=update)
     else:
         kernel = functools.partial(_gj_kernel, m=m_pad)
+    kwargs = {}
+    if block > 1 and not interpret:
+        # the blocked kernel's unrolled macro-steps stack more scoped-
+        # vmem temporaries than the 16 MB default allows at SPRITES
+        # scale (the data itself is ~5 MB; v5e has 128 MB VMEM)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
     out, ld = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B_pad, m_pad, W), M.dtype),
@@ -199,6 +221,7 @@ def chol_inverse_pallas(M: Array, interpret: bool = False,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
+        **kwargs,
     )(aug)
     return out[:B, :m, m_pad:m_pad + m], ld[:B, 0]
 
