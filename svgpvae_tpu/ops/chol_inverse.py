@@ -120,9 +120,13 @@ def _gj_blocked_kernel(aug_ref, inv_ref, ld_ref, *, m: int, nb: int,
             C = jnp.where(panel_mask, 0.0, C)
             Pc = jax.lax.slice(P, (b0, 0, 0), (b1, nb, W))
             if update == "dot":
+                # HIGHEST: the MXU's default f32 path multiplies in
+                # bf16, and the GJ recurrence amplifies that to O(1)
+                # inverse error + NaN logdets on chip (r5 wave 4)
                 U = jax.lax.dot_general(
                     C, Pc, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=Xc.dtype)
+                    preferred_element_type=Xc.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
             else:
                 U = C[:, :, 0:1] * Pc[:, 0:1, :]
                 for j in range(1, nb):
