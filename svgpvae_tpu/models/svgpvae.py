@@ -69,7 +69,9 @@ GP_BLOCK_AUTO_TABLE = {
     # rank-deficient spectrum (runaway from step 0, r3 wave 13), and the
     # Pallas explicit inverse corrupts p_m to ~1.7e-2 there (r3).
     ("sprites", "titsias", "tpu"): ("fused",
-        "full-scale gate clean at cgen 0.01626 where dense NaNs (r3)"),
+        "full-scale gate clean at cgen 0.01626 where dense NaNs (r3); "
+        "r5 blocked-GJ recheck: pallas only reaches block-level parity "
+        "(1.58 vs 1.62 ms fwd+bwd) - no speed case to flip"),
     ("sprites", "titsias", "other"): ("fused",
         "same spectrum argument on every backend"),
 }
